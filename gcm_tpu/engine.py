@@ -1,0 +1,185 @@
+"""Engine: builds a Task into device state and runs the time loop.
+
+TPU-native counterpart of the reference's ``Engine`` (SURVEY.md §2 component
+13, §3.1): owns the mesh state, computes the (static) CFL dt, sequences the
+splitting stages, injects sources, records detector traces and snapshots.
+
+Differences from the reference, by design (SURVEY.md §7):
+- dt is computed once host-side (materials are static) — no per-step
+  allreduce / device sync;
+- the inner loop is a ``lax.scan`` over steps (pairs of steps when the stage
+  order is symmetrized), jit-compiled once with donated state;
+- detector traces are accumulated on device as scan outputs (one gather per
+  step), fetched at the end — not a host readback per step;
+- snapshots cut the scan into chunks at the snapshot cadence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.materials import MaterialFields
+from gcm_tpu.models.spec import Model, get_model
+from gcm_tpu.solver.gcm import cfl_dt, step as solver_step
+from gcm_tpu.task import Task
+
+
+@dataclasses.dataclass
+class RunResult:
+    u: np.ndarray                       # final state [ncomp, *spatial]
+    t: float                            # final time
+    nsteps: int
+    dt: float
+    traces: Optional[np.ndarray]        # [nsteps, npoints, ncomp] or None
+    wall_seconds: float
+    points_per_second: float
+
+
+class Engine:
+    """Single-body engine. Multi-body + contact lives in engine_multi."""
+
+    def __init__(self, task: Task, sharding=None, dtype=jnp.float32):
+        self.task = task
+        self.model: Model = get_model(task.model)
+        if self.model.dim != task.grid.dim:
+            raise ValueError("model dim != grid dim")
+        self.dtype = dtype
+
+        rho, lam, mu = task.material_arrays()
+        self.mat = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=dtype)
+        self.dt = cfl_dt(self.mat, task.grid.h, task.time.cfl)
+        self.nsteps = task.time.steps_for(self.dt)
+
+        u0 = np.zeros((self.model.ncomp,) + task.grid.shape, dtype=np.float64)
+        for ic in task.initial:
+            msk = ic.area.mask(task.grid)
+            for name, val in ic.values.items():
+                u0[self.model.comp(name)][msk] = val
+        self.u = jnp.asarray(u0, dtype=dtype)
+
+        if sharding is not None:
+            self.u = jax.device_put(self.u, sharding)
+            self.mat = jax.tree.map(partial(jax.device_put, device=sharding), self.mat)
+
+        # source injection tables: static node indices + per-step amplitudes
+        self._src_idx: List[Tuple[Tuple[int, ...], int]] = []
+        amps = []
+        for src in task.sources:
+            node = task.grid.index_of(src.position)
+            for cname in src.components:
+                self._src_idx.append((node, self.model.comp(cname)))
+                amps.append([
+                    src.wavelet((n + 1) * self.dt) * self.dt
+                    for n in range(self.nsteps)
+                ])
+        self._src_amps = (
+            jnp.asarray(np.asarray(amps, dtype=np.float64).T, dtype=dtype)
+            if amps else jnp.zeros((self.nsteps, 0), dtype=dtype)
+        )
+
+        # detector gather indices
+        self._det_idx: Optional[np.ndarray] = None
+        if task.detectors is not None:
+            pts = [task.grid.index_of(p) for p in task.detectors.points]
+            self._det_idx = np.asarray(pts, dtype=np.int32)  # [np, dim]
+
+        self._scan_fn = None
+
+    # ------------------------------------------------------------------ step
+
+    def _one_step(self, u, src_amp, step_parity: int):
+        task, model = self.task, self.model
+        axes = tuple(range(model.dim))
+        if task.symmetrize_stages and step_parity == 1:
+            axes = axes[::-1]
+        u = solver_step(
+            model, u, self.mat, self.dt, task.grid.h, task.order,
+            task.borders, axes,
+        )
+        for k, (node, comp) in enumerate(self._src_idx):
+            u = u.at[(comp,) + node].add(src_amp[k])
+        return u
+
+    def _detect(self, u):
+        if self._det_idx is None:
+            return jnp.zeros((0, self.model.ncomp), dtype=u.dtype)
+        cols = []
+        for node in self._det_idx:
+            cols.append(u[(slice(None),) + tuple(int(i) for i in node)])
+        return jnp.stack(cols)  # [npoints, ncomp]
+
+    def _build_scan(self):
+        period = 2 if self.task.symmetrize_stages else 1
+
+        def body(u, x):
+            amps = x  # [period, nsrc]
+            trs = []
+            for p in range(period):
+                u = self._one_step(u, amps[p], p)
+                trs.append(self._detect(u))
+            return u, jnp.stack(trs)  # [period, npoints, ncomp]
+
+        @partial(jax.jit, donate_argnums=0)
+        def scan_steps(u, amps_chunk):
+            return jax.lax.scan(body, u, amps_chunk)
+
+        return scan_steps, period
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, snapshot_cb: Optional[Callable[[int, np.ndarray], None]] = None
+            ) -> RunResult:
+        """Run all steps; optionally call ``snapshot_cb(step, u)`` at the
+        task's snapshot cadence (host-side, outside jit)."""
+        scan_steps, period = self._build_scan()
+        nsteps = self.nsteps
+        nfull = (nsteps // period) * period
+        every = self.task.snapshots.every
+        chunk = every if (snapshot_cb and every) else max(nfull, period)
+        chunk = max(period, (chunk // period) * period)
+
+        nsrc = self._src_amps.shape[1]
+        amps = self._src_amps[:nfull].reshape(nfull // period, period, nsrc)
+        u = self.u
+        traces = []
+        t0 = _time.perf_counter()
+        done = 0
+        while done < nfull:
+            take = min(chunk, nfull - done) // period
+            u, tr = scan_steps(u, amps[done // period: done // period + take])
+            traces.append(tr)
+            done += take * period
+            if snapshot_cb is not None:
+                snapshot_cb(done, np.asarray(jax.device_get(u)))
+        # tail steps that don't fill a full symmetrization period
+        for n in range(nfull, nsteps):
+            u = self._one_step(u, self._src_amps[n], n % period)
+            traces.append(self._detect(u)[None])
+            done += 1
+        u.block_until_ready()
+        wall = _time.perf_counter() - t0
+
+        npts = int(np.prod(self.task.grid.shape))
+        trace_arr = None
+        if self._det_idx is not None and len(traces):
+            ncomp = self.model.ncomp
+            trace_arr = np.concatenate(
+                [np.asarray(t).reshape(-1, len(self._det_idx), ncomp)
+                 for t in traces], axis=0)
+        self.u = u
+        return RunResult(
+            u=np.asarray(jax.device_get(u)),
+            t=nsteps * self.dt,
+            nsteps=nsteps,
+            dt=self.dt,
+            traces=trace_arr,
+            wall_seconds=wall,
+            points_per_second=npts * nsteps / max(wall, 1e-12),
+        )

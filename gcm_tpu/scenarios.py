@@ -1,0 +1,158 @@
+"""Named scenarios — the five BASELINE.json configs as runnable Tasks.
+
+TPU-native counterpart of the reference's compiled-in predefined tasks
+(``src/launcher/tasks``, SURVEY.md §2 component 16; the mount was empty, so
+the scenarios are built to BASELINE.json's config list verbatim):
+
+1. ``acoustic1d``   — 1D acoustic wave, uniform grid, linear interpolation
+2. ``elastic2d_ps`` — 2D elastic P/S propagation, homogeneous, order 2
+3. ``elastic3d_layered`` — 3D elastic, layered seismic velocity model,
+   absorbing boundaries
+4. ``elastic3d_explosion`` — 3D elastic, free surface + explosion source
+   (the contact/fracture variant is ``elastic3d_contact`` in
+   gcm_tpu.engine_multi once two bodies are involved)
+5. ``simplex2d_acoustic`` / ``simplex3d_elastic`` — unstructured-mesh GCM
+   (gcm_tpu.grids.simplex gather path)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from gcm_tpu.materials import IsotropicMaterial
+from gcm_tpu.task import (
+    AreaBall, AreaLayer, BorderSpec, DetectorSpec, GridSpec,
+    InitialCondition, RickerSource, SnapshotSpec, Task, TimeSpec,
+)
+
+_REGISTRY: Dict[str, Callable[..., Task]] = {}
+
+
+def register(fn: Callable[..., Task]) -> Callable[..., Task]:
+    _REGISTRY[fn.__name__] = fn
+    return fn
+
+
+def get_scenario(name: str, **kw) -> Task:
+    return _REGISTRY[name](**kw)
+
+
+def list_scenarios():
+    return sorted(_REGISTRY)
+
+
+@register
+def acoustic1d(n: int = 1024, nsteps: int = 500) -> Task:
+    """BASELINE config 1: 1D acoustic pulse, linear characteristic interp."""
+    water = IsotropicMaterial.from_speeds(rho=1000.0, cp=1500.0)
+    L = 1000.0
+    return Task(
+        name="acoustic1d",
+        model="acoustic1d",
+        grid=GridSpec(shape=(n,), h=(L / (n - 1),)),
+        default_material=water,
+        initial=(
+            InitialCondition(AreaBall(center=(L / 2,), radius=L / 20),
+                             values={"p": 1.0e5}),
+        ),
+        borders={(0, 0): BorderSpec("absorbing"), (0, 1): BorderSpec("absorbing")},
+        time=TimeSpec(cfl=0.9, nsteps=nsteps),
+        order=1,
+        detectors=DetectorSpec(points=((L / 4,),)),
+    )
+
+
+@register
+def elastic2d_ps(n: int = 512, nsteps: int = 300) -> Task:
+    """BASELINE config 2: homogeneous 2D elastic P/S waves, order 2."""
+    rock = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+    L = 2000.0
+    h = L / (n - 1)
+    return Task(
+        name="elastic2d_ps",
+        model="elastic2d",
+        grid=GridSpec(shape=(n, n), h=(h, h)),
+        default_material=rock,
+        initial=(
+            InitialCondition(
+                AreaBall(center=(L / 2, L / 2), radius=L / 25),
+                values={"sxx": 1.0e6, "syy": 1.0e6},
+            ),
+        ),
+        borders={(a, s): BorderSpec("absorbing") for a in (0, 1) for s in (0, 1)},
+        time=TimeSpec(cfl=0.8, nsteps=nsteps),
+        order=2,
+        detectors=DetectorSpec(points=((L / 4, L / 2), (3 * L / 4, L / 2))),
+    )
+
+
+def _layered_3d(nx: int, ny: int, nz: int):
+    """A 3-layer seismic velocity model stacked along z (axis 2)."""
+    L = (2000.0, 2000.0, 1500.0)
+    h = (L[0] / (nx - 1), L[1] / (ny - 1), L[2] / (nz - 1))
+    sediments = IsotropicMaterial.from_speeds(rho=1900.0, cp=2100.0, cs=900.0)
+    sandstone = IsotropicMaterial.from_speeds(rho=2300.0, cp=3300.0, cs=1800.0)
+    basement = IsotropicMaterial.from_speeds(rho=2700.0, cp=5200.0, cs=3000.0)
+    from gcm_tpu.task import MaterialRegion
+    regions = (
+        MaterialRegion(AreaLayer(axis=2, lo=0.0, hi=500.0), sediments),
+        MaterialRegion(AreaLayer(axis=2, lo=500.0, hi=1000.0), sandstone),
+        MaterialRegion(AreaLayer(axis=2, lo=1000.0, hi=1500.0), basement),
+    )
+    return GridSpec(shape=(nx, ny, nz), h=h), regions, L
+
+
+@register
+def elastic3d_layered(n: int = 128, nsteps: int = 100) -> Task:
+    """BASELINE config 3: 3D layered heterogeneous elastic, absorbing."""
+    grid, regions, L = _layered_3d(n, n, max(n // 2, 8))
+    return Task(
+        name="elastic3d_layered",
+        model="elastic3d",
+        grid=grid,
+        default_material=regions[-1].material,
+        materials=regions,
+        initial=(
+            InitialCondition(
+                AreaBall(center=(L[0] / 2, L[1] / 2, 300.0), radius=120.0),
+                values={"sxx": 1.0e6, "syy": 1.0e6, "szz": 1.0e6},
+            ),
+        ),
+        borders={(a, s): BorderSpec("absorbing")
+                 for a in (0, 1, 2) for s in (0, 1)},
+        time=TimeSpec(cfl=0.8, nsteps=nsteps),
+        order=2,
+        detectors=DetectorSpec(points=((L[0] / 2, L[1] / 2, 50.0),)),
+    )
+
+
+@register
+def elastic3d_explosion(n: int = 128, nsteps: int = 100) -> Task:
+    """BASELINE config 4 (single body): free surface at z=0, explosion
+    (isotropic moment Ricker) source at depth, absorbing elsewhere."""
+    grid, regions, L = _layered_3d(n, n, max(n // 2, 8))
+    borders = {(a, s): BorderSpec("absorbing")
+               for a in (0, 1, 2) for s in (0, 1)}
+    borders[(2, 0)] = BorderSpec("free")  # z = 0 is the free surface
+    f0 = 8.0
+    return Task(
+        name="elastic3d_explosion",
+        model="elastic3d",
+        grid=grid,
+        default_material=regions[-1].material,
+        materials=regions,
+        borders=borders,
+        sources=(
+            RickerSource(
+                position=(L[0] / 2, L[1] / 2, 400.0),
+                components=("sxx", "syy", "szz"),
+                f0=f0, t0=1.2 / f0, amplitude=1.0e8,
+            ),
+        ),
+        time=TimeSpec(cfl=0.8, nsteps=nsteps),
+        order=2,
+        detectors=DetectorSpec(points=(
+            (L[0] / 2, L[1] / 2, 0.0),
+            (L[0] / 4, L[1] / 2, 0.0),
+        )),
+    )

@@ -1,0 +1,254 @@
+"""Scenario configuration — the TPU-native analogue of the reference ``Task``.
+
+The reference describes a whole simulation as one plain struct tree: grid
+geometry, materials-by-area, initial conditions-by-area, border conditions
+per face, time/CFL and snapshot settings (SURVEY.md §2 component 14).
+Here the same role is played by typed dataclasses; ``Area`` shapes rasterize
+to boolean masks host-side (numpy) at engine build time, so nothing dynamic
+reaches the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from gcm_tpu.materials import IsotropicMaterial
+
+Axis = int          # 0, 1, 2
+Side = int          # 0 = low face, 1 = high face
+Face = Tuple[Axis, Side]
+
+
+# ---------------------------------------------------------------- geometry
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Uniform structured (cubic) grid: shape, spacing and origin per axis.
+
+    The grid itself is implicit — array shape + metadata (SURVEY.md §2
+    component 4); node coordinates are ``origin + index * h``.
+    """
+
+    shape: Tuple[int, ...]
+    h: Tuple[float, ...]
+    origin: Tuple[float, ...] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.origin is None:
+            object.__setattr__(self, "origin", (0.0,) * len(self.shape))
+        if not (len(self.shape) == len(self.h) == len(self.origin)):
+            raise ValueError("GridSpec shape/h/origin rank mismatch")
+
+    @property
+    def dim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def lengths(self) -> Tuple[float, ...]:
+        return tuple((n - 1) * h for n, h in zip(self.shape, self.h))
+
+    def coords(self) -> List[np.ndarray]:
+        """Per-axis 1D node coordinate arrays."""
+        return [
+            self.origin[a] + self.h[a] * np.arange(self.shape[a], dtype=np.float64)
+            for a in range(self.dim)
+        ]
+
+    def meshgrid(self) -> List[np.ndarray]:
+        return list(np.meshgrid(*self.coords(), indexing="ij"))
+
+    def index_of(self, point: Sequence[float]) -> Tuple[int, ...]:
+        """Nearest node index of a physical point (for detectors/sources)."""
+        idx = []
+        for a in range(self.dim):
+            i = int(round((point[a] - self.origin[a]) / self.h[a]))
+            idx.append(min(max(i, 0), self.shape[a] - 1))
+        return tuple(idx)
+
+
+# ---------------------------------------------------------------- areas
+
+class Area:
+    """A spatial region; rasterizes to a node mask on a given grid."""
+
+    def mask(self, grid: GridSpec) -> np.ndarray:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaAll(Area):
+    def mask(self, grid: GridSpec) -> np.ndarray:
+        return np.ones(grid.shape, dtype=bool)
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaBox(Area):
+    lo: Tuple[float, ...]
+    hi: Tuple[float, ...]
+
+    def mask(self, grid: GridSpec) -> np.ndarray:
+        xs = grid.meshgrid()
+        m = np.ones(grid.shape, dtype=bool)
+        for a, x in enumerate(xs):
+            m &= (x >= self.lo[a]) & (x <= self.hi[a])
+        return m
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaBall(Area):
+    center: Tuple[float, ...]
+    radius: float
+
+    def mask(self, grid: GridSpec) -> np.ndarray:
+        xs = grid.meshgrid()
+        r2 = sum((x - c) ** 2 for x, c in zip(xs, self.center))
+        return r2 <= self.radius ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaLayer(Area):
+    """Half-open slab ``lo <= x_axis <= hi`` — for layered seismic models."""
+
+    axis: int
+    lo: float
+    hi: float
+
+    def mask(self, grid: GridSpec) -> np.ndarray:
+        x = grid.meshgrid()[self.axis]
+        return (x >= self.lo) & (x <= self.hi)
+
+
+# ---------------------------------------------------------------- conditions
+
+#: characteristic border-condition kinds (SURVEY.md §0.4)
+BORDER_KINDS = ("absorbing", "free", "fixed_force", "fixed_velocity")
+
+
+@dataclasses.dataclass(frozen=True)
+class BorderSpec:
+    """Border condition on one face.
+
+    ``value``: for fixed_force/fixed_velocity — either a scalar (applied to
+    the normal P pair; S pairs get 0) or a per-spatial-axis vector indexed by
+    each pair's ``traction_axis``.
+    """
+
+    kind: str = "absorbing"
+    value: Union[None, float, Tuple[float, ...]] = None
+
+    def __post_init__(self):
+        if self.kind not in BORDER_KINDS:
+            raise ValueError(f"unknown border kind {self.kind!r}")
+
+    def pair_value(self, traction_axis: int, normal_axis: int) -> float:
+        if self.value is None:
+            return 0.0
+        if isinstance(self.value, (int, float)):
+            return float(self.value) if traction_axis == normal_axis else 0.0
+        return float(self.value[traction_axis])
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialRegion:
+    area: Area
+    material: IsotropicMaterial
+
+
+@dataclasses.dataclass(frozen=True)
+class InitialCondition:
+    """Set state components inside an area: {component name: value}."""
+
+    area: Area
+    values: Dict[str, float]
+
+
+@dataclasses.dataclass(frozen=True)
+class RickerSource:
+    """Point source with a Ricker wavelet time function.
+
+    Injected additively into the listed components at the node nearest to
+    ``position`` each step: ``amp * ricker(t − t0; f0) * dt``. An isotropic
+    moment (explosion, BASELINE.json config 4) targets all normal stresses.
+    """
+
+    position: Tuple[float, ...]
+    components: Tuple[str, ...]
+    f0: float
+    t0: float
+    amplitude: float = 1.0
+
+    def wavelet(self, t) -> float:
+        import numpy as _np
+
+        a = (_np.pi * self.f0 * (t - self.t0)) ** 2
+        return float(self.amplitude * (1.0 - 2.0 * a) * _np.exp(-a))
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeSpec:
+    cfl: float = 0.9
+    nsteps: Optional[int] = None
+    t_end: Optional[float] = None
+
+    def steps_for(self, dt: float) -> int:
+        if self.nsteps is not None:
+            return self.nsteps
+        if self.t_end is not None:
+            return int(np.ceil(self.t_end / dt))
+        raise ValueError("TimeSpec needs nsteps or t_end")
+
+
+@dataclasses.dataclass(frozen=True)
+class SnapshotSpec:
+    every: int = 0                    # 0 = disabled
+    directory: str = "snapshots"
+    fields: Tuple[str, ...] = ()      # () = all components
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorSpec:
+    """Receiver points whose state is recorded every step (seismograms)."""
+
+    points: Tuple[Tuple[float, ...], ...]
+    components: Tuple[str, ...] = ()  # () = all
+
+
+# ---------------------------------------------------------------- task
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    """One body: grid + model + materials + ICs/BCs + time + outputs."""
+
+    name: str
+    model: str                         # gcm_tpu.models.get_model key
+    grid: GridSpec
+    default_material: IsotropicMaterial
+    materials: Tuple[MaterialRegion, ...] = ()
+    initial: Tuple[InitialCondition, ...] = ()
+    borders: Dict[Face, BorderSpec] = dataclasses.field(default_factory=dict)
+    sources: Tuple[RickerSource, ...] = ()
+    time: TimeSpec = TimeSpec()
+    order: int = 2                     # characteristic interpolation order
+    snapshots: SnapshotSpec = SnapshotSpec()
+    detectors: Optional[DetectorSpec] = None
+    symmetrize_stages: bool = True     # reverse axis order on odd steps
+
+    def border(self, axis: int, side: int) -> BorderSpec:
+        return self.borders.get((axis, side), BorderSpec("absorbing"))
+
+    def material_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Rasterize material regions into (rho, lam, mu) node arrays."""
+        shape = self.grid.shape
+        m0 = self.default_material
+        rho = np.full(shape, m0.rho, dtype=np.float32)
+        lam = np.full(shape, m0.lam, dtype=np.float32)
+        mu = np.full(shape, m0.mu, dtype=np.float32)
+        for region in self.materials:
+            msk = region.area.mask(self.grid)
+            rho[msk] = region.material.rho
+            lam[msk] = region.material.lam
+            mu[msk] = region.material.mu
+        return rho, lam, mu

@@ -1,0 +1,85 @@
+"""Benchmark of record: grid-points/s for the 3D heterogeneous elastic step.
+
+BASELINE.json metric: "grid-points/s/chip (3D elastic GCM step)". The
+reference publishes no numbers (BASELINE.md), so ``vs_baseline`` reports the
+speedup of the best compute path over this framework's own straightforward
+jnp formulation (the "unfused baseline implementation") on the same chip —
+the honest, measurable proxy until a reference binary exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(shape, dtype_name="float32"):
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+
+    fwd, u0, mat = g._flagship(shape, dtype=getattr(jnp, dtype_name))
+    return fwd, u0, mat
+
+
+def _time_steps(fn, u, mat, nwarm=3, niter=10):
+    import jax
+
+    stepped = u
+    for _ in range(nwarm):
+        stepped = fn(stepped, mat)
+    stepped.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(niter):
+        stepped = fn(stepped, mat)
+    stepped.block_until_ready()
+    dtw = (time.perf_counter() - t0) / niter
+    assert bool(jax.numpy.isfinite(stepped[0, 0, 0, 0])), "non-finite state"
+    return dtw
+
+
+def main():
+    import jax
+
+    shape = (256, 256, 128)
+    npoints = int(np.prod(shape))
+    fwd, u0, mat = _build(shape)
+
+    jit_fwd = jax.jit(fwd, donate_argnums=0)
+    t_jnp = _time_steps(jit_fwd, u0, mat)
+    jnp_pps = npoints / t_jnp
+
+    best_pps, best_name = jnp_pps, "jnp"
+    try:
+        from gcm_tpu.ops.pallas_stage import make_pallas_step
+
+        pfwd, _, _ = _build(shape)
+        pallas_step = make_pallas_step(shape)
+        if pallas_step is not None:
+            jit_p = jax.jit(pallas_step, donate_argnums=0)
+            # rebuild state (donated above)
+            _, u1, mat1 = _build(shape)
+            t_pal = _time_steps(jit_p, u1, mat1)
+            if npoints / t_pal > best_pps:
+                best_pps, best_name = npoints / t_pal, "pallas"
+    except ImportError:
+        pass
+
+    print(json.dumps({
+        "metric": "grid-points/s/chip (3D elastic GCM step)",
+        "value": round(best_pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(best_pps / jnp_pps, 3),
+        "path": best_name,
+        "jnp_points_per_s": round(jnp_pps, 1),
+        "shape": list(shape),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Multi-body engine: several Tasks coupled by contact interfaces.
+
+TPU-native counterpart of the reference Engine's multi-mesh mode
+(SURVEY.md §3.1): all bodies share one jitted step (a dict pytree), the
+contact/fracture state (per-interface bond masks) is part of the scan carry,
+so fracture evolution runs entirely on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.engine import RunResult
+from gcm_tpu.materials import MaterialFields
+from gcm_tpu.models.spec import get_model
+from gcm_tpu.solver.contact import ContactSpec
+from gcm_tpu.solver.multi import step_multi
+from gcm_tpu.task import Task
+
+
+@dataclasses.dataclass
+class MultiRunResult:
+    bodies: Dict[str, np.ndarray]
+    bonded: Dict[int, np.ndarray]
+    t: float
+    nsteps: int
+    dt: float
+    wall_seconds: float
+    points_per_second: float
+
+
+class MultiBodyEngine:
+    """Bodies: {name: Task}; contacts couple named bodies' faces.
+
+    All bodies must use the same model, order and symmetrization; dt is the
+    global CFL minimum over bodies (as in the reference's allreduce-min,
+    SURVEY.md §3.1 — but static, computed once host-side).
+    """
+
+    def __init__(self, bodies: Dict[str, Task], contacts: Sequence[ContactSpec],
+                 dtype=jnp.float32):
+        names = list(bodies)
+        self.tasks = bodies
+        self.contacts = tuple(contacts)
+        t0 = bodies[names[0]]
+        self.model = get_model(t0.model)
+        self.order = t0.order
+        self.symmetrize = t0.symmetrize_stages
+        for t in bodies.values():
+            if t.model != t0.model or t.order != t0.order:
+                raise ValueError("bodies must share model and order")
+
+        self.mats: Dict[str, MaterialFields] = {}
+        self.us: Dict[str, jnp.ndarray] = {}
+        self.hs: Dict[str, Tuple[float, ...]] = {}
+        self.borders = {}
+        dts = []
+        for name, task in bodies.items():
+            rho, lam, mu = task.material_arrays()
+            mat = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=dtype)
+            self.mats[name] = mat
+            self.hs[name] = task.grid.h
+            self.borders[name] = dict(task.borders)
+            u0 = np.zeros((self.model.ncomp,) + task.grid.shape)
+            for ic in task.initial:
+                msk = ic.area.mask(task.grid)
+                for cname, val in ic.values.items():
+                    u0[self.model.comp(cname)][msk] = val
+            self.us[name] = jnp.asarray(u0, dtype=dtype)
+            dts.append(task.time.cfl * min(task.grid.h) / mat.max_cp())
+        self.dt = float(min(dts))
+        self.nsteps = t0.time.steps_for(self.dt)
+
+        # bond masks for fracture-enabled contacts (interface slab shape)
+        self.bonded: Dict[int, jnp.ndarray] = {}
+        for ci, c in enumerate(self.contacts):
+            if c.tensile_strength is not None:
+                shape_a = bodies[c.body_a].grid.shape
+                slab = tuple(s for a, s in enumerate(shape_a) if a != c.axis)
+                self.bonded[ci] = jnp.ones(slab, dtype=dtype)
+
+        # sources (per body)
+        self._srcs = []
+        for name, task in bodies.items():
+            for src in task.sources:
+                node = task.grid.index_of(src.position)
+                for cname in src.components:
+                    amps = np.array([
+                        src.wavelet((n + 1) * self.dt) * self.dt
+                        for n in range(self.nsteps)
+                    ])
+                    self._srcs.append((name, node, self.model.comp(cname),
+                                       jnp.asarray(amps, dtype=dtype)))
+
+    def _one_step(self, us, bonded, n_amp, parity: int):
+        axes = tuple(range(self.model.dim))
+        if self.symmetrize and parity == 1:
+            axes = axes[::-1]
+        us, bonded = step_multi(
+            self.model, us, self.mats, self.dt, self.hs, self.order,
+            self.borders, self.contacts, bonded, axes,
+        )
+        for k, (name, node, comp, _) in enumerate(self._srcs):
+            us = dict(us)
+            us[name] = us[name].at[(comp,) + node].add(n_amp[k])
+        return us, bonded
+
+    def run(self) -> MultiRunResult:
+        period = 2 if self.symmetrize else 1
+        nsteps = (max(self.nsteps, period) // period) * period
+        amps = (
+            jnp.stack([a[:nsteps] for _, _, _, a in self._srcs], 1)
+            if self._srcs else jnp.zeros((nsteps, 0), dtype=jnp.float32)
+        ).reshape(nsteps // period, period, -1)
+
+        def body(carry, x):
+            us, bonded = carry
+            for p in range(period):
+                us, bonded = self._one_step(us, bonded, x[p], p)
+            return (us, bonded), ()
+
+        @partial(jax.jit, donate_argnums=0)
+        def scan_all(carry, amps):
+            return jax.lax.scan(body, carry, amps)[0]
+
+        t0 = _time.perf_counter()
+        us, bonded = scan_all((self.us, self.bonded), amps)
+        jax.tree.map(lambda a: a.block_until_ready(), us)
+        wall = _time.perf_counter() - t0
+        npts = sum(int(np.prod(t.grid.shape)) for t in self.tasks.values())
+        self.us, self.bonded = us, bonded
+        return MultiRunResult(
+            bodies={k: np.asarray(jax.device_get(v)) for k, v in us.items()},
+            bonded={k: np.asarray(jax.device_get(v)) for k, v in bonded.items()},
+            t=nsteps * self.dt,
+            nsteps=nsteps,
+            dt=self.dt,
+            wall_seconds=wall,
+            points_per_second=npts * nsteps / max(wall, 1e-12),
+        )

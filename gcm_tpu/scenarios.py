@@ -126,6 +126,44 @@ def elastic3d_layered(n: int = 128, nsteps: int = 100) -> Task:
     )
 
 
+def elastic3d_contact(n: int = 64, nsteps: int = 80):
+    """BASELINE config 4 (full): two 3D elastic bodies bonded along z with a
+    finite tensile strength (fracture), explosion source in the lower body,
+    free surface on top. Returns (bodies dict, contacts) for MultiBodyEngine.
+    """
+    from gcm_tpu.solver.contact import ContactSpec
+
+    rock = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+    soft = IsotropicMaterial.from_speeds(rho=2000.0, cp=2500.0, cs=1200.0)
+    L = 1000.0
+    nz = max(n // 2, 8)
+    h = L / (n - 1)
+    hz = h
+    grid = GridSpec(shape=(n, n, nz), h=(h, h, hz))
+    f0 = 10.0
+    # body "upper": z in [0, (nz-1)hz] with free surface at z=0
+    upper = Task(
+        name="upper", model="elastic3d", grid=grid, default_material=soft,
+        borders={**{(a, s): BorderSpec("absorbing") for a in (0, 1, 2) for s in (0, 1)},
+                 (2, 0): BorderSpec("free")},
+        time=TimeSpec(cfl=0.8, nsteps=nsteps), order=2,
+    )
+    # body "lower": continues downward, explosion source inside
+    lower = Task(
+        name="lower", model="elastic3d", grid=grid, default_material=rock,
+        borders={(a, s): BorderSpec("absorbing") for a in (0, 1, 2) for s in (0, 1)},
+        sources=(RickerSource(
+            position=(L / 2, L / 2, (nz - 1) * hz / 2),
+            components=("sxx", "syy", "szz"),
+            f0=f0, t0=1.2 / f0, amplitude=1.0e10,
+        ),),
+        time=TimeSpec(cfl=0.8, nsteps=nsteps), order=2,
+    )
+    contacts = (ContactSpec("upper", "lower", axis=2, kind="bonded",
+                            tensile_strength=1.0e5, broken_kind="free"),)
+    return {"upper": upper, "lower": lower}, contacts
+
+
 @register
 def elastic3d_explosion(n: int = 128, nsteps: int = 100) -> Task:
     """BASELINE config 4 (single body): free surface at z=0, explosion

@@ -26,20 +26,25 @@ def _build(shape, dtype_name="float32"):
     return fwd, u0, mat
 
 
-def _time_steps(fn, u, mat, nwarm=3, niter=10):
-    import jax
+def _sync(x):
+    """Force completion: a scalar device->host fetch (block_until_ready has
+    been observed not to block on the experimental axon platform)."""
+    v = float(np.asarray(x[0, 0, 0, 0]))
+    assert np.isfinite(v), "non-finite state"
+    return v
 
+
+def _time_steps(fn, u, mat, nwarm=5, niter=25):
+    """Per-step wall time via interval differencing with forced syncs."""
     stepped = u
     for _ in range(nwarm):
         stepped = fn(stepped, mat)
-    stepped.block_until_ready()
+    _sync(stepped)
     t0 = time.perf_counter()
     for _ in range(niter):
         stepped = fn(stepped, mat)
-    stepped.block_until_ready()
-    dtw = (time.perf_counter() - t0) / niter
-    assert bool(jax.numpy.isfinite(stepped[0, 0, 0, 0])), "non-finite state"
-    return dtw
+    _sync(stepped)
+    return (time.perf_counter() - t0) / niter
 
 
 def main():

@@ -128,3 +128,30 @@ def interp_at_foot(f, nu, direction: int, order: int, axis: int):
         term = w * shift(f, o, axis)
         out = term if out is None else out + term
     return out
+
+
+def edge_pad(f, axis: int, r: int):
+    """Edge-replicate pad of width ``r`` along ``axis`` (both sides).
+
+    Padding once and slicing per stencil offset (interp_padded) lets XLA
+    fuse the shifted reads into the consuming elementwise ops — one
+    materialization per field per sweep instead of one per shift.
+    """
+    widths = [(0, 0)] * f.ndim
+    widths[axis] = (r, r)
+    return jnp.pad(f, widths, mode="edge")
+
+
+def shifted_slice(fp, j: int, axis: int, r: int, n: int):
+    """View of the padded array equal to ``shift(f, j, axis)`` (|j| <= r)."""
+    return lax.slice_in_dim(fp, r + j, r + j + n, axis=axis)
+
+
+def interp_padded(fp, wts, direction: int, order: int, axis: int, r: int, n: int):
+    """interp_at_foot on a pre-padded field with precomputed weights."""
+    offs = stencil_offsets(order, direction)
+    out = None
+    for o, w in zip(offs, wts):
+        term = w * shifted_slice(fp, o, axis, r, n)
+        out = term if out is None else out + term
+    return out

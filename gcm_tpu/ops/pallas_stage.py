@@ -1,0 +1,357 @@
+"""Fused Pallas TPU kernel for the grid-characteristic sweep.
+
+The speed-of-light implementation of SURVEY.md §3.2's hot loop: one kernel
+per dimensional-splitting sweep reads every field exactly once from HBM and
+writes every updated field exactly once — transform → stencil → border
+correction → back-transform → zero-invariant update, all fused in VMEM.
+The jnp path (gcm_tpu.ops.stage / solver.gcm.stage) is the semantics of
+record; this kernel must match it allclose (tests/test_pallas.py).
+
+Design (see pallas_guide.md):
+- The sweep axis is chunked; shifted fields are delivered as *overlapping
+  halo windows* via ``pl.Element(CX + 2r, padding=(r, r))`` block dims —
+  the Pallas-native equivalent of the reference's ghost-node layers.
+- Out-of-range halo rows at the domain edges are patched in-kernel to
+  edge-replication (matching gcm_tpu.ops.interp.shift's clamping), and the
+  characteristic border conditions are applied to the boundary row of the
+  first/last chunk in invariant space — identical algebra to
+  gcm_tpu.solver.boundary.
+- Non-shifted fields (materials, zero-invariant stresses) use ordinary
+  aligned blocks; untouched components never move at all.
+- Block layout: the two non-sweep axes are tiled (sublane x lane); for the
+  innermost (lane) sweep axis the whole extent is kept in-block, so shifts
+  are static in-VMEM slices.
+
+Supported here: any model/stage from gcm_tpu.models.spec on 3D grids, f32,
+orders 1..4. Other ranks fall back to the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gcm_tpu.materials import MaterialFields
+from gcm_tpu.models.spec import Model
+from gcm_tpu.ops.interp import stencil_offsets, stencil_radius, stencil_weights
+from gcm_tpu.task import BorderSpec
+
+Borders = Dict[Tuple[int, int], BorderSpec]
+
+_Z_EPS = 1e-30
+
+
+def _slab(x, d: int, s: int, n: int):
+    """Static slice [s, s+n) along dim d of a 3D block value."""
+    idx = [slice(None)] * x.ndim
+    idx[d] = slice(s, s + n)
+    return x[tuple(idx)]
+
+
+def _row(x, d: int, s: int):
+    """Single row slab [s, s+1) along dim d (kept-dims)."""
+    return _slab(x, d, s, 1)
+
+
+def _iota_mask(shape, d: int, lo: Optional[int] = None, hi: Optional[int] = None):
+    """Boolean mask over a block: rows [0,lo) or [hi,end) along dim d."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, d)
+    m = None
+    if lo is not None:
+        m = rows < lo
+    if hi is not None:
+        mh = rows >= hi
+        m = mh if m is None else (m | mh)
+    return m
+
+
+def _apply_bc_row(w_l, w_r, z_blk, sign, bc: BorderSpec, value: float,
+                  d: int, side: int, is_face, cx: int):
+    """Overwrite the incoming invariant on the face row of a face chunk.
+
+    Mirrors gcm_tpu.solver.boundary.correct_pair_at_face; ``is_face`` is a
+    traced bool (this chunk touches the global face).
+    """
+    row_idx = 0 if side == 0 else cx - 1
+    mask = _iota_mask(w_l.shape, d, lo=1) if side == 0 else \
+        _iota_mask(w_l.shape, d, hi=cx - 1)
+    mask = mask & is_face
+    if side == 0:
+        out = w_l
+        if bc.kind == "absorbing":
+            inc = jnp.zeros_like(out)
+        elif bc.kind == "free":
+            inc = -out
+        elif bc.kind == "fixed_force":
+            inc = 2.0 * value - out
+        elif bc.kind == "fixed_velocity":
+            inc = out - 2.0 * sign * z_blk * value
+        else:  # pragma: no cover
+            raise ValueError(bc.kind)
+        w_r = jnp.where(mask, inc, w_r)
+    else:
+        out = w_r
+        if bc.kind == "absorbing":
+            inc = jnp.zeros_like(out)
+        elif bc.kind == "free":
+            inc = -out
+        elif bc.kind == "fixed_force":
+            inc = 2.0 * value - out
+        elif bc.kind == "fixed_velocity":
+            inc = out + 2.0 * sign * z_blk * value
+        else:  # pragma: no cover
+            raise ValueError(bc.kind)
+        w_l = jnp.where(mask, inc, w_l)
+    return w_l, w_r
+
+
+def _patch_halo(win, d: int, r: int, cx: int, is_first, is_last):
+    """Replace out-of-domain halo rows with edge replication (clamping)."""
+    if r == 0:
+        return win
+    w = win
+    lo_mask = _iota_mask(w.shape, d, lo=r) & is_first
+    hi_mask = _iota_mask(w.shape, d, hi=r + cx) & is_last
+    w = jnp.where(lo_mask, _row(w, d, r), w)
+    w = jnp.where(hi_mask, _row(w, d, r + cx - 1), w)
+    return w
+
+
+def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
+                       dt_over_h: float, borders: Optional[Borders],
+                       d: int, cx: int, n_chunks: int, shapes):
+    """Build the kernel body for one sweep. ``d`` is the block dim of the
+    sweep axis; ``cx`` the chunk length; windows have length cx + 2r."""
+    st = model.stage(axis)
+    r = stencil_radius(order)
+    npairs = len(st.pairs)
+    nzeros = len(st.zeros)
+    waves = [p.wave for p in st.pairs]
+    need_kappa = nzeros > 0
+
+    def kernel(*refs):
+        # ref order:
+        #  [A_win, B_win] * npairs,  c per wave-kind used, z per wave-kind,
+        #  kappa?, [zero_comp, zero_src_old?]...  then outputs:
+        #  [A_out, B_out] * npairs, [zero_out] * nzeros
+        it = iter(refs)
+        wins = [(next(it), next(it)) for _ in range(npairs)]
+        c_refs = {}
+        z_refs = {}
+        for w in ("p", "s"):
+            if w in waves:
+                c_refs[w] = next(it)
+        for w in ("p", "s"):
+            if w in waves:
+                z_refs[w] = next(it)
+        kappa_ref = next(it) if need_kappa else None
+        zero_refs = [next(it) for _ in range(nzeros)]
+        a_outs = [(next(it), next(it)) for _ in range(npairs)]
+        z_outs = [next(it) for _ in range(nzeros)]
+
+        ic = pl.program_id(2)  # chunk index along sweep axis (innermost)
+        is_first = ic == 0
+        is_last = ic == n_chunks - 1
+
+        # precompute weights per wave kind present
+        nu = {w: c_refs[w][...] * dt_over_h for w in c_refs}
+        wts = {w: stencil_weights(order, nu[w]) for w in nu}
+        offs_p = stencil_offsets(order, +1)
+        offs_m = stencil_offsets(order, -1)
+
+        src_news = {}
+        src_olds = {}
+        for k, p in enumerate(st.pairs):
+            a_ref, b_ref = wins[k]
+            aw = _patch_halo(a_ref[...], d, r, cx, is_first, is_last)
+            bw = _patch_halo(b_ref[...], d, r, cx, is_first, is_last)
+            z = z_refs[p.wave][...]
+            wt = wts[p.wave]
+
+            def interp(win, offs):
+                out = None
+                for o, w_ in zip(offs, wt):
+                    t = w_ * _slab(win, d, r + o, cx)
+                    out = t if out is None else out + t
+                return out
+
+            szb = sign * z
+            w_l = interp(aw, offs_p) + szb * interp(bw, offs_p)
+            w_r = interp(aw, offs_m) - szb * interp(bw, offs_m)
+
+            if borders is not None:
+                for side in (0, 1):
+                    bc = borders.get((axis, side))
+                    if bc is not None:
+                        val = bc.pair_value(p.traction_axis, axis)
+                        w_l, w_r = _apply_bc_row(
+                            w_l, w_r, z, sign, bc, val, d, side,
+                            is_first if side == 0 else is_last, cx,
+                        )
+
+            a_new = 0.5 * (w_l + w_r)
+            b_old = _slab(bw, d, r, cx)
+            b_prop = sign * (w_l - w_r) / (2.0 * jnp.maximum(z, _Z_EPS))
+            b_new = jnp.where(z > 0, b_prop, b_old)
+            a_outs[k][0][...] = a_new
+            a_outs[k][1][...] = b_new
+            if any(zc.src == p.sigma for zc in st.zeros):
+                src_news[p.sigma] = a_new
+                src_olds[p.sigma] = _slab(aw, d, r, cx)
+
+        if need_kappa:
+            kap = kappa_ref[...]
+            for j, zc in enumerate(st.zeros):
+                dsrc = src_news[zc.src] - src_olds[zc.src]
+                z_outs[j][...] = zero_refs[j][...] + kap * dsrc
+
+    return kernel
+
+
+def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int):
+    """Grid + block specs. Block layout (b0, b1, b2) == spatial dims; the
+    sweep axis gets the chunk/window, the other two get (8, 128)-ish tiles;
+    the last axis always keeps a multiple-of-128 tile."""
+    st = model.stage(axis)
+    r = stencil_radius(order)
+    n0, n1, n2 = shape
+    TS, TL = 8, 128  # sublane / lane tile for non-sweep dims
+
+    if axis == 0:
+        grid = (pl.cdiv(n1, TS), pl.cdiv(n2, TL), pl.cdiv(n0, cx))
+        blk = (cx, TS, TL)
+        win = (pl.Element(cx + 2 * r, padding=(r, r)), TS, TL)
+        iw = lambda j, k, i: (i * cx, j, k)          # element offset on dim 0
+        ib = lambda j, k, i: (i, j, k)               # block index
+        d = 0
+    elif axis == 1:
+        grid = (pl.cdiv(n0, TS), pl.cdiv(n2, TL), pl.cdiv(n1, cx))
+        blk = (TS, cx, TL)
+        win = (TS, pl.Element(cx + 2 * r, padding=(r, r)), TL)
+        iw = lambda j, k, i: (j, i * cx, k)
+        ib = lambda j, k, i: (j, i, k)
+        d = 1
+    else:
+        grid = (pl.cdiv(n0, TS), pl.cdiv(n1, TS), pl.cdiv(n2, cx))
+        blk = (TS, TS, cx)
+        win = (TS, TS, pl.Element(cx + 2 * r, padding=(r, r)))
+        iw = lambda j, k, i: (j, k, i * cx)
+        ib = lambda j, k, i: (j, k, i)
+        d = 2
+
+    win_spec = pl.BlockSpec(win, iw, memory_space=pltpu.VMEM)
+    blk_spec = pl.BlockSpec(blk, ib, memory_space=pltpu.VMEM)
+
+    in_specs = []
+    # pair windows
+    for _ in st.pairs:
+        in_specs += [win_spec, win_spec]
+    waves = [p.wave for p in st.pairs]
+    for w in ("p", "s"):
+        if w in waves:
+            in_specs.append(blk_spec)   # c field
+    for w in ("p", "s"):
+        if w in waves:
+            in_specs.append(blk_spec)   # z field
+    if st.zeros:
+        in_specs.append(blk_spec)       # kappa
+    in_specs += [blk_spec] * len(st.zeros)  # zero comps
+
+    out_specs = [blk_spec] * (2 * len(st.pairs) + len(st.zeros))
+    return grid, in_specs, out_specs, d, grid[2]
+
+
+def pallas_stage(
+    model: Model,
+    u: jnp.ndarray,
+    mat: MaterialFields,
+    dt: float,
+    h: Sequence[float],
+    axis: int,
+    order: int,
+    borders: Optional[Borders] = None,
+    cx: int = 64,
+) -> jnp.ndarray:
+    """Drop-in replacement for solver.gcm.stage on 3D grids (f32)."""
+    if u.ndim != 4:
+        raise ValueError("pallas_stage supports 3D grids only")
+    st = model.stage(axis)
+    shape = u.shape[1:]
+    n_sweep = shape[axis]
+    cx = min(cx, n_sweep)
+    if n_sweep % cx:
+        # fall back to a divisor chunk
+        for c in range(cx, 0, -1):
+            if n_sweep % c == 0:
+                cx = c
+                break
+
+    grid, in_specs, out_specs, d, n_chunks = _specs_for_sweep(
+        model, axis, order, shape, cx
+    )
+    kernel = _make_sweep_kernel(
+        model, axis, order, model.sign, float(dt / h[axis]), borders,
+        d, cx, n_chunks, shape,
+    )
+
+    waves = [p.wave for p in st.pairs]
+    inputs = []
+    for p in st.pairs:
+        inputs += [u[p.sigma], u[p.vel]]
+    for w in ("p", "s"):
+        if w in waves:
+            inputs.append(mat.c(w))
+    for w in ("p", "s"):
+        if w in waves:
+            inputs.append(mat.z(w))
+    if st.zeros:
+        inputs.append(mat.kappa)
+    for zc in st.zeros:
+        inputs.append(u[zc.comp])
+
+    f32 = jax.ShapeDtypeStruct(shape, u.dtype)
+    out_shape = [f32] * (2 * len(st.pairs) + len(st.zeros))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*inputs)
+
+    # reassemble the full state vector
+    comps = {}
+    k = 0
+    for p in st.pairs:
+        comps[p.sigma] = outs[k]
+        comps[p.vel] = outs[k + 1]
+        k += 2
+    for zc in st.zeros:
+        comps[zc.comp] = outs[k]
+        k += 1
+    return jnp.stack([comps.get(i, u[i]) for i in range(model.ncomp)])
+
+
+def pallas_step(
+    model: Model,
+    u: jnp.ndarray,
+    mat: MaterialFields,
+    dt: float,
+    h: Sequence[float],
+    order: int,
+    borders: Optional[Borders] = None,
+    axes: Optional[Sequence[int]] = None,
+    cx: int = 64,
+) -> jnp.ndarray:
+    """Full step with every sweep as a fused Pallas kernel."""
+    if axes is None:
+        axes = range(model.dim)
+    for a in axes:
+        u = pallas_stage(model, u, mat, dt, h, a, order, borders, cx=cx)
+    return u

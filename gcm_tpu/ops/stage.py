@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import Model, PairSpec
-from gcm_tpu.ops.interp import interp_at_foot
+from gcm_tpu.ops.interp import (
+    edge_pad, interp_padded, stencil_radius, stencil_weights,
+)
 
 _Z_EPS = 1e-30
 
@@ -38,10 +40,16 @@ def pair_invariants_at_feet(
     invariants are formed with the *target node's* impedance applied to the
     interpolated neighbor fields.
     """
-    A_p = interp_at_foot(A, nu, +1, order, ax)
-    B_p = interp_at_foot(B, nu, +1, order, ax)
-    A_m = interp_at_foot(A, nu, -1, order, ax)
-    B_m = interp_at_foot(B, nu, -1, order, ax)
+    r = stencil_radius(order)
+    n = A.shape[ax]
+    A_pad = edge_pad(A, ax, r)
+    B_pad = edge_pad(B, ax, r)
+    wts = stencil_weights(order, nu)  # direction-independent (offsets are
+    # direction-relative), so one weight set serves both feet
+    A_p = interp_padded(A_pad, wts, +1, order, ax, r, n)
+    B_p = interp_padded(B_pad, wts, +1, order, ax, r, n)
+    A_m = interp_padded(A_pad, wts, -1, order, ax, r, n)
+    B_m = interp_padded(B_pad, wts, -1, order, ax, r, n)
     szb = sign * z
     w_l = A_p + szb * B_p
     w_r = A_m - szb * B_m

@@ -60,19 +60,17 @@ def main():
 
     best_pps, best_name = jnp_pps, "jnp"
     try:
-        from gcm_tpu.ops.pallas_stage import make_pallas_step
+        import __graft_entry__ as g
 
-        pfwd, _, _ = _build(shape)
-        pallas_step = make_pallas_step(shape)
-        if pallas_step is not None:
-            jit_p = jax.jit(pallas_step, donate_argnums=0)
-            # rebuild state (donated above)
-            _, u1, mat1 = _build(shape)
-            t_pal = _time_steps(jit_p, u1, mat1)
-            if npoints / t_pal > best_pps:
-                best_pps, best_name = npoints / t_pal, "pallas"
-    except ImportError:
-        pass
+        pfwd = g._flagship_pallas(shape)
+        jit_p = jax.jit(pfwd, donate_argnums=0)
+        _, u1, mat1 = _build(shape)  # fresh state (previous was donated)
+        t_pal = _time_steps(jit_p, u1, mat1)
+        pal_pps = npoints / t_pal
+        if pal_pps > best_pps:
+            best_pps, best_name = pal_pps, "pallas"
+    except Exception as e:  # pallas path must never break the benchmark
+        print(f"# pallas path failed: {type(e).__name__}: {e}", flush=True)
 
     print(json.dumps({
         "metric": "grid-points/s/chip (3D elastic GCM step)",

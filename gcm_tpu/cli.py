@@ -1,0 +1,112 @@
+"""Command-line launcher: ``python -m gcm_tpu <command> ...``.
+
+TPU-native counterpart of the reference's launcher ``main`` (SURVEY.md §2
+component 16): pick a predefined scenario by name, build the engine, run,
+write artifacts.
+
+Commands:
+  run <scenario> [--n N] [--nsteps K] [--outdir DIR] [--snapshot-every S]
+                 [--cpu] [--checkpoint-every C] [--resume]
+  list
+  bench [--shape X,Y,Z] [--path jnp|pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(prog="gcm_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a named scenario")
+    r.add_argument("scenario")
+    r.add_argument("--n", type=int, default=None, help="grid resolution")
+    r.add_argument("--nsteps", type=int, default=None)
+    r.add_argument("--outdir", default="out")
+    r.add_argument("--snapshot-every", type=int, default=None)
+    r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in outdir")
+    r.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+    sub.add_parser("list", help="list available scenarios")
+
+    b = sub.add_parser("bench", help="single-chip step benchmark")
+    b.add_argument("--shape", default="256,256,128")
+    b.add_argument("--path", default="best", choices=["jnp", "pallas", "best"])
+    return p
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "list":
+        from gcm_tpu.scenarios import list_scenarios
+
+        for name in list_scenarios():
+            print(name)
+        print("elastic3d_contact  (multi-body; via gcm_tpu.engine_multi)")
+        return 0
+
+    if args.cmd == "bench":
+        import bench  # repo-root bench.py
+
+        bench.main()
+        return 0
+
+    # run
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.scenarios import get_scenario
+    from gcm_tpu.task import SnapshotSpec
+
+    kw = {}
+    if args.n is not None:
+        kw["n"] = args.n
+    if args.nsteps is not None:
+        kw["nsteps"] = args.nsteps
+    task = get_scenario(args.scenario, **kw)
+    if args.snapshot_every is not None:
+        task = dataclasses.replace(
+            task, snapshots=SnapshotSpec(every=args.snapshot_every)
+        )
+
+    eng = Engine(task)
+    if args.resume:
+        import os
+
+        from gcm_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        ckdir = os.path.join(args.outdir, "checkpoints")
+        step = latest_step(ckdir)
+        if step is not None:
+            state = restore_checkpoint(ckdir, {"u": eng.u, "step": 0})
+            eng.u = state["u"]
+            print(f"resumed from step {step}", file=sys.stderr)
+
+    res = eng.run_with_outputs(args.outdir,
+                               checkpoint_every=args.checkpoint_every)
+    print(json.dumps({
+        "scenario": task.name,
+        "nsteps": res.nsteps,
+        "dt": res.dt,
+        "t_end": res.t,
+        "wall_seconds": round(res.wall_seconds, 3),
+        "points_per_second": round(res.points_per_second, 1),
+        "outdir": args.outdir,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -156,6 +156,7 @@ class Engine:
             u, tr = scan_steps(u, amps[done // period: done // period + take])
             traces.append(tr)
             done += take * period
+            self.u = u  # keep current for checkpointing callbacks
             if snapshot_cb is not None:
                 snapshot_cb(done, np.asarray(jax.device_get(u)))
         # tail steps that don't fill a full symmetrization period
@@ -173,6 +174,7 @@ class Engine:
             trace_arr = np.concatenate(
                 [np.asarray(t).reshape(-1, len(self._det_idx), ncomp)
                  for t in traces], axis=0)
+        self._last_traces = trace_arr
         self.u = u
         return RunResult(
             u=np.asarray(jax.device_get(u)),
@@ -183,3 +185,47 @@ class Engine:
             wall_seconds=wall,
             points_per_second=npts * nsteps / max(wall, 1e-12),
         )
+
+    # ------------------------------------------------------------- outputs
+
+    def run_with_outputs(self, outdir: str,
+                         checkpoint_every: int = 0) -> RunResult:
+        """Run with artifact outputs: VTK snapshots at the task's cadence,
+        seismograms at the end, optional orbax checkpoints."""
+        import os
+
+        from gcm_tpu.snapshot.seismo import save_seismograms
+        from gcm_tpu.snapshot.vtk import snapshot_fields, write_vti
+
+        os.makedirs(outdir, exist_ok=True)
+        task = self.task
+        snapdir = os.path.join(outdir, task.snapshots.directory)
+
+        cb = None
+        if task.snapshots.every:
+            os.makedirs(snapdir, exist_ok=True)
+
+            def cb(step: int, u: np.ndarray) -> None:
+                fields = snapshot_fields(self.model, u)
+                if task.snapshots.fields:
+                    keep = set(task.snapshots.fields) | {"velocity"}
+                    fields = {k: v for k, v in fields.items() if k in keep}
+                write_vti(
+                    os.path.join(snapdir, f"{task.name}_{step:06d}.vti"),
+                    task.grid.shape, task.grid.h, task.grid.origin, fields,
+                )
+                if checkpoint_every and step % checkpoint_every == 0:
+                    from gcm_tpu.utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        os.path.join(outdir, "checkpoints"), step,
+                        {"u": self.u, "step": step},
+                    )
+
+        res = self.run(snapshot_cb=cb)
+        if res.traces is not None and task.detectors is not None:
+            save_seismograms(
+                outdir, task.name, res.traces, self.dt,
+                task.detectors.points, self.model.comp_names,
+            )
+        return res

@@ -164,6 +164,43 @@ def elastic3d_contact(n: int = 64, nsteps: int = 80):
     return {"upper": upper, "lower": lower}, contacts
 
 
+def simplex2d_acoustic(n: int = 61, jitter: float = 0.2):
+    """BASELINE config 5 (2D): acoustic pulse on a jittered triangle mesh.
+    Returns a ready SimplexEngine (simplex scenarios don't fit the cubic
+    Task schema; the mesh itself is part of the setup)."""
+    import numpy as _np
+
+    from gcm_tpu.engine_simplex import SimplexEngine
+    from gcm_tpu.grids.simplex import SimplexGrid
+
+    L = 100.0
+    g = SimplexGrid.box((0.0, 0.0), (L, L), (n, n), jitter=jitter)
+    water = IsotropicMaterial.from_speeds(rho=1000.0, cp=1500.0)
+    model_ncomp = 3
+    u0 = _np.zeros((model_ncomp, g.npoints))
+    r2 = ((g.points - L / 2) ** 2).sum(1)
+    u0[2] = 1.0e5 * _np.exp(-r2 / (2 * (L / 20) ** 2))
+    return SimplexEngine(g, "acoustic2d", water, u0=u0)
+
+
+def simplex3d_elastic(n: int = 21, jitter: float = 0.15):
+    """BASELINE config 5 (3D): elastic pulse on a jittered tet mesh."""
+    import numpy as _np
+
+    from gcm_tpu.engine_simplex import SimplexEngine
+    from gcm_tpu.grids.simplex import SimplexGrid
+
+    L = 100.0
+    g = SimplexGrid.box((0.0,) * 3, (L,) * 3, (n,) * 3, jitter=jitter)
+    rock = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+    u0 = _np.zeros((9, g.npoints))
+    r2 = ((g.points - L / 2) ** 2).sum(1)
+    ball = _np.exp(-r2 / (2 * (L / 15) ** 2))
+    for c in (3, 6, 8):  # sxx, syy, szz
+        u0[c] = 1.0e6 * ball
+    return SimplexEngine(g, "elastic3d", rock, u0=u0)
+
+
 @register
 def elastic3d_explosion(n: int = 128, nsteps: int = 100) -> Task:
     """BASELINE config 4 (single body): free surface at z=0, explosion

@@ -1,0 +1,97 @@
+"""Grid-characteristic method on simplex meshes: gather-based sweeps.
+
+TPU-native counterpart of the reference's simplex GCM specialization
+(SURVEY.md §2 component 9, §3.3; BASELINE config 5). Same pair/zero
+characteristic algebra as the cubic solver (gcm_tpu.models.spec), but the
+semi-Lagrangian interpolation is a barycentric gather over precomputed
+static tables (gcm_tpu.grids.simplex.build_foot_tables) — ``jnp.take`` over
+node arrays, fully static indices, TPU-compatible.
+
+State layout: ``u[ncomp, N]``; material fields ``[N]``. Border conditions:
+``absorbing`` and ``free``, applied where the characteristic foot leaves
+the hull (the unstructured analogue of incoming-invariant overwrites).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from gcm_tpu.grids.simplex import FootTables
+from gcm_tpu.materials import MaterialFields
+from gcm_tpu.models.spec import Model
+
+_Z_EPS = 1e-30
+
+
+def _gather_interp(f: jnp.ndarray, ids: jnp.ndarray, wts: jnp.ndarray):
+    """Barycentric interpolation: sum_j wts[:, j] * f[ids[:, j]]."""
+    return (jnp.take(f, ids, axis=0) * wts).sum(axis=1)
+
+
+def simplex_stage(
+    model: Model,
+    u: jnp.ndarray,
+    mat: MaterialFields,
+    tables: Dict[Tuple[int, str, int], FootTables],
+    axis: int,
+    border_kind: str = "absorbing",
+) -> jnp.ndarray:
+    """One characteristic sweep along coordinate axis ``axis``."""
+    st = model.stage(axis)
+    sign = model.sign
+    comps: Dict[int, jnp.ndarray] = {}
+
+    for p in st.pairs:
+        if (axis, p.wave, +1) not in tables:
+            continue  # wave family absent (e.g. S in a fluid)
+        tp = tables[(axis, p.wave, +1)]
+        tm = tables[(axis, p.wave, -1)]
+        z = mat.z(p.wave)
+        A, B = u[p.sigma], u[p.vel]
+        szb = sign * z
+
+        ids_p, w_p = jnp.asarray(tp.ids), jnp.asarray(tp.weights, dtype=u.dtype)
+        ids_m, w_m = jnp.asarray(tm.ids), jnp.asarray(tm.weights, dtype=u.dtype)
+        w_l = _gather_interp(A, ids_p, w_p) + szb * _gather_interp(B, ids_p, w_p)
+        w_r = _gather_interp(A, ids_m, w_m) - szb * _gather_interp(B, ids_m, w_m)
+
+        # border: feet outside the hull are incoming invariants
+        out_p = jnp.asarray(tp.outside)   # w_l incoming where its foot left
+        out_m = jnp.asarray(tm.outside)   # w_r incoming where its foot left
+        if border_kind == "absorbing":
+            w_l = jnp.where(out_p, 0.0, w_l)
+            w_r = jnp.where(out_m, 0.0, w_r)
+        elif border_kind == "free":
+            w_l = jnp.where(out_p, -w_r, w_l)
+            w_r = jnp.where(out_m, -w_l, w_r)
+        else:  # pragma: no cover
+            raise ValueError(border_kind)
+
+        A_new = 0.5 * (w_l + w_r)
+        B_prop = sign * (w_l - w_r) / (2.0 * jnp.maximum(z, _Z_EPS))
+        B_new = jnp.where(z > 0, B_prop, B)
+        comps[p.sigma] = A_new
+        comps[p.vel] = B_new
+
+    for zc in st.zeros:
+        if zc.src in comps:
+            comps[zc.comp] = u[zc.comp] + mat.kappa * (comps[zc.src] - u[zc.src])
+
+    return jnp.stack([comps.get(i, u[i]) for i in range(model.ncomp)])
+
+
+def simplex_step(
+    model: Model,
+    u: jnp.ndarray,
+    mat: MaterialFields,
+    tables: Dict[Tuple[int, str, int], FootTables],
+    border_kind: str = "absorbing",
+    axes: Optional[Sequence[int]] = None,
+) -> jnp.ndarray:
+    if axes is None:
+        axes = range(model.dim)
+    for a in axes:
+        u = simplex_stage(model, u, mat, tables, a, border_kind)
+    return u

@@ -1,0 +1,69 @@
+"""Checkpoint / resume of simulation state (SURVEY.md §5).
+
+The reference has no restartable checkpointing (VTK snapshots are
+output-only); this framework checkpoints the full state pytree — fields,
+fracture bond masks, step counter — with orbax, so long runs survive
+preemption and multi-host restarts (orbax handles sharded jax.Arrays
+natively).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+    )
+
+
+def save_checkpoint(directory: str, step: int, state: Dict[str, Any]) -> None:
+    """Save ``state`` (an arbitrary pytree of arrays) at ``step``."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(directory: str, state_like: Dict[str, Any],
+                       step: Optional[int] = None) -> Dict[str, Any]:
+    """Restore the pytree saved at ``step`` (default: latest)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    abstract = _abstractify(state_like)
+    out = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr.close()
+    return out
+
+
+def _abstractify(tree):
+    import jax
+
+    def leaf(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        return x
+
+    return jax.tree.map(leaf, tree)

@@ -6,36 +6,37 @@ speedup of the best compute path over this framework's own straightforward
 jnp formulation (the "unfused baseline implementation") on the same chip —
 the honest, measurable proxy until a reference binary exists.
 
+Each compute path runs in its own subprocess: the axon TPU tunnel admits
+one client per process, block_until_ready has been observed not to block on
+it (so timing uses forced scalar fetches), and a hung Mosaic remote-compile
+must not wedge the whole benchmark.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-
-def _build(shape, dtype_name="float32"):
-    import jax.numpy as jnp
-
-    import __graft_entry__ as g
-
-    fwd, u0, mat = g._flagship(shape, dtype=getattr(jnp, dtype_name))
-    return fwd, u0, mat
+SHAPE = (256, 256, 128)
+PATH_TIMEOUT_S = 1500
 
 
 def _sync(x):
-    """Force completion: a scalar device->host fetch (block_until_ready has
-    been observed not to block on the experimental axon platform)."""
+    """Force completion via a scalar device->host fetch."""
     v = float(np.asarray(x[0, 0, 0, 0]))
     assert np.isfinite(v), "non-finite state"
     return v
 
 
 def _time_steps(fn, u, mat, nwarm=5, niter=25):
-    """Per-step wall time via interval differencing with forced syncs."""
     stepped = u
     for _ in range(nwarm):
         stepped = fn(stepped, mat)
@@ -47,42 +48,83 @@ def _time_steps(fn, u, mat, nwarm=5, niter=25):
     return (time.perf_counter() - t0) / niter
 
 
-def main():
+def run_worker(path: str, shape) -> None:
     import jax
 
-    shape = (256, 256, 128)
-    npoints = int(np.prod(shape))
-    fwd, u0, mat = _build(shape)
+    import __graft_entry__ as g
 
+    fwd, u0, mat = g._flagship(shape)
+    if path == "pallas":
+        fwd = g._flagship_pallas(shape)
     jit_fwd = jax.jit(fwd, donate_argnums=0)
-    t_jnp = _time_steps(jit_fwd, u0, mat)
-    jnp_pps = npoints / t_jnp
+    t_step = _time_steps(jit_fwd, u0, mat)
+    print(json.dumps({"path": path, "t_step": t_step}))
 
-    best_pps, best_name = jnp_pps, "jnp"
+
+def _run_path_subprocess(path: str, shape):
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", path,
+           "--shape", ",".join(map(str, shape))]
     try:
-        import __graft_entry__ as g
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=PATH_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)["t_step"], None
+        return None, f"no result line (rc={out.returncode}): " \
+                     f"{out.stderr.strip()[-300:]}"
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {PATH_TIMEOUT_S}s"
 
-        pfwd = g._flagship_pallas(shape)
-        jit_p = jax.jit(pfwd, donate_argnums=0)
-        _, u1, mat1 = _build(shape)  # fresh state (previous was donated)
-        t_pal = _time_steps(jit_p, u1, mat1)
-        pal_pps = npoints / t_pal
-        if pal_pps > best_pps:
-            best_pps, best_name = pal_pps, "pallas"
-    except Exception as e:  # pallas path must never break the benchmark
-        print(f"# pallas path failed: {type(e).__name__}: {e}", flush=True)
 
+def main():
+    shape = SHAPE
+    npoints = int(np.prod(shape))
+
+    t_jnp, err_jnp = _run_path_subprocess("jnp", shape)
+    t_pal, err_pal = _run_path_subprocess("pallas", shape)
+
+    results = {}
+    if t_jnp:
+        results["jnp"] = npoints / t_jnp
+    if t_pal:
+        results["pallas"] = npoints / t_pal
+    if not results:
+        print(json.dumps({
+            "metric": "grid-points/s/chip (3D elastic GCM step)",
+            "value": 0.0, "unit": "points/s", "vs_baseline": 0.0,
+            "error": f"jnp: {err_jnp}; pallas: {err_pal}",
+        }))
+        return
+
+    best_name = max(results, key=results.get)
+    best = results[best_name]
+    base = results.get("jnp", best)
+    extras = {}
+    if err_pal:
+        extras["pallas_error"] = err_pal
     print(json.dumps({
         "metric": "grid-points/s/chip (3D elastic GCM step)",
-        "value": round(best_pps, 1),
+        "value": round(best, 1),
         "unit": "points/s",
-        "vs_baseline": round(best_pps / jnp_pps, 3),
+        "vs_baseline": round(best / base, 3),
         "path": best_name,
-        "jnp_points_per_s": round(jnp_pps, 1),
+        "jnp_points_per_s": round(base, 1),
         "shape": list(shape),
-        "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", default=None)
+    ap.add_argument("--shape", default=",".join(map(str, SHAPE)))
+    args = ap.parse_args()
+    shape = tuple(int(x) for x in args.shape.split(","))
+    if args.worker:
+        run_worker(args.worker, shape)
+    else:
+        SHAPE = shape
+        main()

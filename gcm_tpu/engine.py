@@ -94,7 +94,7 @@ class Engine:
 
     # ------------------------------------------------------------------ step
 
-    def _one_step(self, u, src_amp, step_parity: int):
+    def _one_step(self, u, aux, src_amp, step_parity: int):
         task, model = self.task, self.model
         axes = tuple(range(model.dim))
         if task.symmetrize_stages and step_parity == 1:
@@ -105,7 +105,9 @@ class Engine:
         )
         for k, (node, comp) in enumerate(self._src_idx):
             u = u.at[(comp,) + node].add(src_amp[k])
-        return u
+        for corr in task.correctors:
+            u, aux = corr(model, u, aux, self.dt)
+        return u, aux
 
     def _detect(self, u):
         if self._det_idx is None:
@@ -118,17 +120,18 @@ class Engine:
     def _build_scan(self):
         period = 2 if self.task.symmetrize_stages else 1
 
-        def body(u, x):
+        def body(carry, x):
+            u, aux = carry
             amps = x  # [period, nsrc]
             trs = []
             for p in range(period):
-                u = self._one_step(u, amps[p], p)
+                u, aux = self._one_step(u, aux, amps[p], p)
                 trs.append(self._detect(u))
-            return u, jnp.stack(trs)  # [period, npoints, ncomp]
+            return (u, aux), jnp.stack(trs)  # [period, npoints, ncomp]
 
         @partial(jax.jit, donate_argnums=0)
-        def scan_steps(u, amps_chunk):
-            return jax.lax.scan(body, u, amps_chunk)
+        def scan_steps(carry, amps_chunk):
+            return jax.lax.scan(body, carry, amps_chunk)
 
         return scan_steps, period
 
@@ -147,13 +150,17 @@ class Engine:
 
         nsrc = self._src_amps.shape[1]
         amps = self._src_amps[:nfull].reshape(nfull // period, period, nsrc)
+        aux = {}
+        for corr in self.task.correctors:
+            aux.update(corr.init_aux(self.model, self.task.grid.shape))
         u = self.u
         traces = []
         t0 = _time.perf_counter()
         done = 0
         while done < nfull:
             take = min(chunk, nfull - done) // period
-            u, tr = scan_steps(u, amps[done // period: done // period + take])
+            (u, aux), tr = scan_steps(
+                (u, aux), amps[done // period: done // period + take])
             traces.append(tr)
             done += take * period
             self.u = u  # keep current for checkpointing callbacks
@@ -161,10 +168,11 @@ class Engine:
                 snapshot_cb(done, np.asarray(jax.device_get(u)))
         # tail steps that don't fill a full symmetrization period
         for n in range(nfull, nsteps):
-            u = self._one_step(u, self._src_amps[n], n % period)
+            u, aux = self._one_step(u, aux, self._src_amps[n], n % period)
             traces.append(self._detect(u)[None])
             done += 1
         u.block_until_ready()
+        self.aux = aux
         wall = _time.perf_counter() - t0
 
         npts = int(np.prod(self.task.grid.shape))

@@ -115,6 +115,10 @@ def build_foot_tables(
     out: Dict[Tuple[int, str, int], FootTables] = {}
     N, dim = grid.npoints, grid.dim
     self_ids = np.arange(N, dtype=np.int32)
+    # each node's own incident cell: O(1) walk starts (CGAL-style)
+    starts = tri.vertex_to_simplex.astype(np.int32)
+
+    from gcm_tpu import native
 
     for a in range(dim):
         for w in waves:
@@ -126,16 +130,11 @@ def build_foot_tables(
             for direction in (+1, -1):
                 feet = grid.points.copy()
                 feet[:, a] += direction * c * dt
-                cells = tri.find_simplex(feet)
+                # native C++ visibility walk (scipy fallback inside)
+                cells, weights = native.walk_locate(tri, feet, starts)
                 outside = cells < 0
                 cc = np.where(outside, 0, cells)
                 verts = tri.simplices[cc]                        # [N, dim+1]
-                # barycentric via Delaunay transform: b = T @ (x - r)
-                T = tri.transform[cc]                            # [N, dim+1, dim]
-                b = np.einsum("nij,nj->ni", T[:, :dim, :],
-                              feet - T[:, dim, :])
-                weights = np.concatenate(
-                    [b, (1.0 - b.sum(axis=1, keepdims=True))], axis=1)
                 # Sliver cells (degenerate Delaunay simplices) can yield
                 # weights slightly outside [0,1] or non-finite transforms;
                 # clamp + renormalize so every interpolation is a convex

@@ -1,0 +1,158 @@
+"""Explicit halo exchange + shard_map step: the manual distribution path.
+
+Two distribution paths exist (SURVEY.md §5.8):
+
+1. **GSPMD (default, gcm_tpu.parallel.sharding)**: jit the global program
+   over sharded arrays; XLA derives the halo collectives. Simple, always
+   correct, but cannot partition ``pallas_call`` ops.
+2. **shard_map + explicit halo (this module)**: each shard runs the sweep
+   on its local block extended by an r-deep halo fetched from neighbors
+   with ``lax.ppermute`` (the ICI neighbor collective — the reference's
+   MPI_Sendrecv analogue, SURVEY.md §2 component 17). Required for the
+   fused Pallas sweep kernels on multiple chips, and the place where halo
+   transfer overlaps interior compute.
+
+Border conditions: the raw sweep runs border-free on the extended block;
+global-edge shards then apply the exactly-equivalent post-fixup
+(solver.boundary.apply_borders_post), gated by traced ``axis_index``
+predicates — one program for every shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gcm_tpu.materials import MaterialFields
+from gcm_tpu.models.spec import Model
+from gcm_tpu.ops.interp import stencil_radius
+from gcm_tpu.solver.boundary import apply_borders_post
+from gcm_tpu.solver.gcm import stage as jnp_stage
+from gcm_tpu.task import BorderSpec
+
+Borders = Dict[Tuple[int, int], BorderSpec]
+
+
+def halo_exchange(f: jnp.ndarray, axis_name: str, ax: int, r: int):
+    """Extend the local block by r-deep neighbor slabs along spatial ``ax``.
+
+    Edge shards (no neighbor on that side) get edge-replicated values, so
+    the extended block reproduces the global edge-clamped stencil locally.
+    Returns an array with ``shape[ax] + 2r``.
+    """
+    n_sh = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    n = f.shape[ax]
+
+    lo_own = lax.slice_in_dim(f, 0, r, axis=ax)          # my first r rows
+    hi_own = lax.slice_in_dim(f, n - r, n, axis=ax)      # my last r rows
+
+    # receive left neighbor's high rows / right neighbor's low rows
+    from_left = lax.ppermute(
+        hi_own, axis_name, [(i, i + 1) for i in range(n_sh - 1)])
+    from_right = lax.ppermute(
+        lo_own, axis_name, [(i + 1, i) for i in range(n_sh - 1)])
+
+    # edge shards: replicate own edge row (global edge-clamp semantics)
+    edge_lo = jnp.repeat(lax.slice_in_dim(f, 0, 1, axis=ax), r, axis=ax)
+    edge_hi = jnp.repeat(lax.slice_in_dim(f, n - 1, n, axis=ax), r, axis=ax)
+    from_left = jnp.where(idx == 0, edge_lo, from_left)
+    from_right = jnp.where(idx == n_sh - 1, edge_hi, from_right)
+
+    return jnp.concatenate([from_left, f, from_right], axis=ax)
+
+
+def _crop(f: jnp.ndarray, ax: int, r: int):
+    return lax.slice_in_dim(f, r, f.shape[ax] - r, axis=ax)
+
+
+def make_spmd_step(
+    model: Model,
+    mesh: Mesh,
+    dt: float,
+    h: Sequence[float],
+    order: int,
+    borders: Optional[Borders] = None,
+    use_pallas: bool = False,
+    pallas_cx: int = 64,
+):
+    """Build a jitted shard_map full step over ``mesh`` (axes 'sx'[, 'sy']).
+
+    Returns ``step(u, mat) -> u`` operating on globally-shaped (sharded)
+    arrays with the framework's standard domain decomposition.
+    """
+    dim = model.dim
+    r = stencil_radius(order)
+    axis_names = mesh.axis_names                       # ('sx',) or ('sx','sy')
+    spatial_names: Dict[int, Optional[str]] = {a: None for a in range(dim)}
+    spatial_names[0] = "sx"
+    if dim >= 3 and "sy" in axis_names:
+        spatial_names[1] = "sy"
+
+    if use_pallas:
+        from gcm_tpu.ops.pallas_stage import pallas_stage as _pstage
+
+        def raw_stage(u, mat, axis):
+            return _pstage(model, u, mat, dt, h, axis, order, None,
+                           cx=pallas_cx)
+    else:
+        def raw_stage(u, mat, axis):
+            return jnp_stage(model, u, mat, dt, h, axis, order, None)
+
+    mat_leaves = ("cp", "cs", "zp", "zs", "kappa", "rho")
+
+    def local_step(u, mat, axes):
+        for axis in axes:
+            name = spatial_names.get(axis)
+            u_old = u
+            if name is None:
+                u_new = raw_stage(u, mat, axis)
+            else:
+                u_ext = halo_exchange(u, name, axis + 1, r)
+                mat_ext = MaterialFields(*[
+                    halo_exchange(getattr(mat, leaf), name, axis, r)
+                    for leaf in mat_leaves
+                ])
+                u_new = _crop(raw_stage(u_ext, mat_ext, axis), axis + 1, r)
+            if borders:
+                if name is None:
+                    active = (True, True)
+                else:
+                    i_sh = lax.axis_index(name)
+                    active = (i_sh == 0, i_sh == lax.axis_size(name) - 1)
+                u_new = apply_borders_post(
+                    model, u_old, u_new, mat, axis, borders, active)
+            u = u_new
+        return u
+
+    spatial_spec = [None] * dim
+    spatial_spec[0] = "sx"
+    if dim >= 3 and "sy" in axis_names:
+        spatial_spec[1] = "sy"
+    u_spec = P(None, *spatial_spec)
+    m_spec = P(*spatial_spec)
+
+    _cache: Dict[Tuple[int, ...], object] = {}
+
+    def step(u, mat, axes: Optional[Tuple[int, ...]] = None):
+        axes = tuple(range(dim)) if axes is None else tuple(axes)
+        fn = _cache.get(axes)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                partial(local_step, axes=axes),
+                mesh=mesh,
+                in_specs=(u_spec, MaterialFields(*([m_spec] * 6))),
+                out_specs=u_spec,
+                # pallas_call's ShapeDtypeStruct outputs carry no varying-
+                # mesh-axes annotation; skip the vma check
+                check_vma=False,
+            ))
+            _cache[axes] = fn
+        return fn(u, mat)
+
+    return step

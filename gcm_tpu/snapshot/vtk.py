@@ -66,19 +66,25 @@ def write_vti(
     origin3 = tuple(origin) + (0.0,) * (3 - len(origin))
     extent = f"0 {shape3[0] - 1} 0 {shape3[1] - 1} 0 {shape3[2] - 1}"
 
+    from gcm_tpu import native
+
+    def f_ravel(a):
+        a = np.asarray(a, np.float32)
+        if a.ndim == 3:
+            return native.transpose_f_order(a)   # C++ blocked transpose
+        return np.asfortranarray(a).ravel(order="F")
+
     names, arrays, ncomps = [], [], []
     for name, arr in point_fields.items():
         arr = np.asarray(arr)
         if arr.ndim == len(shape):           # scalar field
-            a = np.asfortranarray(arr.astype(np.float32)).ravel(order="F")
-            names.append(name); arrays.append(a); ncomps.append(1)
+            names.append(name); arrays.append(f_ravel(arr)); ncomps.append(1)
         else:                                 # vector field (dim, *spatial)
             d = arr.shape[0]
             v = np.zeros((3,) + arr.shape[1:], dtype=np.float32)
             v[:d] = arr
             # interleave components per point, x-fastest point order
-            flat = np.stack([np.asarray(c, np.float32).ravel(order="F")
-                             for c in v], axis=-1).ravel()
+            flat = np.stack([f_ravel(c) for c in v], axis=-1).ravel()
             names.append(name); arrays.append(flat); ncomps.append(3)
 
     blob, offsets = _appended_blocks(arrays)

@@ -37,6 +37,94 @@ def face_index(ax: int, side: int) -> Tuple:
     return (slice(None),) * ax + (0 if side == 0 else -1,)
 
 
+def apply_borders_post(
+    model,
+    u_old: jnp.ndarray,
+    u_raw: jnp.ndarray,
+    mat,
+    axis: int,
+    borders,
+    active=(True, True),
+):
+    """Exactly reproduce stage-with-borders from a border-free sweep.
+
+    The pair reconstruction is invertible (w_L = A + s z B, w_R = A − s z B),
+    so the characteristic border correction can be applied *after* a raw
+    sweep by recomputing the slab invariants from the raw update, replacing
+    the incoming one, re-reconstructing, and re-propagating the zero-speed
+    invariants at the slab. This is what makes the sweep kernel composable
+    with shard_map: interior shards run the raw sweep; only global-edge
+    shards apply this fixup, gated by the traced ``active`` flags.
+
+    ``active``: per-side booleans (python or traced); traced flags select
+    with jnp.where so the same program serves every shard.
+    """
+    st = model.stage(axis)
+    sign = model.sign
+    u_new = u_raw
+    for side in (0, 1):
+        bc = borders.get((axis, side)) if borders else None
+        if bc is None:
+            continue
+        act = active[side]
+        if act is False:
+            continue
+        idx = face_index(axis, side)
+        sigma_fixed = {}
+        for p in st.pairs:
+            z_b = mat.z(p.wave)[idx]
+            A_b = u_new[p.sigma][idx]
+            B_b = u_new[p.vel][idx]
+            szb = sign * z_b
+            w_l = A_b + szb * B_b
+            w_r = A_b - szb * B_b
+            val = bc.pair_value(p.traction_axis, axis)
+            if side == 0:
+                out = w_l
+                if bc.kind == "absorbing":
+                    inc = jnp.zeros_like(out)
+                elif bc.kind == "free":
+                    inc = -out
+                elif bc.kind == "fixed_force":
+                    inc = 2.0 * val - out
+                elif bc.kind == "fixed_velocity":
+                    inc = out - 2.0 * sign * z_b * val
+                w_l2, w_r2 = w_l, inc
+            else:
+                out = w_r
+                if bc.kind == "absorbing":
+                    inc = jnp.zeros_like(out)
+                elif bc.kind == "free":
+                    inc = -out
+                elif bc.kind == "fixed_force":
+                    inc = 2.0 * val - out
+                elif bc.kind == "fixed_velocity":
+                    inc = out + 2.0 * sign * z_b * val
+                w_l2, w_r2 = inc, w_r
+            A2 = 0.5 * (w_l2 + w_r2)
+            B2 = jnp.where(
+                z_b > 0,
+                sign * (w_l2 - w_r2) / (2.0 * jnp.maximum(z_b, 1e-30)),
+                B_b,
+            )
+            if act is not True:
+                A2 = jnp.where(act, A2, A_b)
+                B2 = jnp.where(act, B2, B_b)
+            u_new = u_new.at[(p.sigma,) + idx].set(A2)
+            u_new = u_new.at[(p.vel,) + idx].set(B2)
+            sigma_fixed[p.sigma] = A2
+        for zc in st.zeros:
+            if zc.src in sigma_fixed:
+                kap = mat.kappa[idx]
+                z_new = u_old[zc.comp][idx] + kap * (
+                    sigma_fixed[zc.src] - u_old[zc.src][idx]
+                )
+                if act is not True:
+                    z_new = jnp.where(act, z_new, u_new[zc.comp][idx])
+                u_new = u_new.at[(zc.comp,) + idx].set(z_new)
+    return u_new
+
+
 def correct_pair_at_face(
     w_l: jnp.ndarray,
     w_r: jnp.ndarray,

@@ -235,6 +235,7 @@ class Task:
     snapshots: SnapshotSpec = SnapshotSpec()
     detectors: Optional[DetectorSpec] = None
     symmetrize_stages: bool = True     # reverse axis order on odd steps
+    correctors: Tuple = ()             # ODE correctors (solver.correctors)
 
     def border(self, axis: int, side: int) -> BorderSpec:
         return self.borders.get((axis, side), BorderSpec("absorbing"))

@@ -125,6 +125,103 @@ class MaterialFields:
     def c(self, wave: str):
         return {"p": self.cp, "s": self.cs}[wave]
 
+    def axis_view(self, axis: int, stage_spec) -> "AxisView":
+        """Per-sweep-axis characteristic fields (isotropic: axis-independent)."""
+        pc = [self.c(p.wave) for p in stage_spec.pairs]
+        pz = [self.z(p.wave) for p in stage_spec.pairs]
+        zk = [self.kappa for _ in stage_spec.zeros]
+        return AxisView(pair_c=pc, pair_z=pz, zero_kappa=zk)
+
+
+@dataclasses.dataclass
+class AxisView:
+    """Characteristic quantities of one dimensional-splitting sweep:
+    per-pair wave speed and impedance fields, per-zero coupling ratios.
+
+    This is the generalization point for anisotropy: isotropic media give
+    the same (cp, zp)/(cs, zs) on every axis, orthotropic media give
+    axis-dependent speeds (sqrt(c_aa/rho) for the P pair, sqrt(c_66/rho)
+    etc. for each shear pair) and per-zero kappas (c_ab/c_aa).
+    """
+
+    pair_c: Any
+    pair_z: Any
+    zero_kappa: Any
+
+
+@dataclasses.dataclass
+class OrthotropicMaterialFields:
+    """Per-node orthotropic characteristic fields (SURVEY.md §2 comp. 2).
+
+    Stores rho and the 9 stiffness arrays; ``axis_view`` produces the
+    closed-form per-axis decomposition quantities consumed by the same
+    generic sweep machinery as the isotropic path. Only structured-grid
+    sweeps support orthotropy (contact/simplex assume isotropic media).
+    """
+
+    rho: Any
+    c11: Any; c12: Any; c13: Any          # noqa: E702
+    c22: Any; c23: Any; c33: Any          # noqa: E702
+    c44: Any; c55: Any; c66: Any          # noqa: E702
+
+    @staticmethod
+    def from_constants(rho, c, xp=np, dtype=None) -> "OrthotropicMaterialFields":
+        """``c``: dict with keys c11..c66 of scalars or arrays."""
+        dtype = dtype or xp.float32
+        conv = lambda a: xp.asarray(a, dtype=dtype)
+        return OrthotropicMaterialFields(
+            rho=conv(rho),
+            c11=conv(c["c11"]), c12=conv(c["c12"]), c13=conv(c["c13"]),
+            c22=conv(c["c22"]), c23=conv(c["c23"]), c33=conv(c["c33"]),
+            c44=conv(c["c44"]), c55=conv(c["c55"]), c66=conv(c["c66"]),
+        )
+
+    def _diag(self, axis: int):
+        return (self.c11, self.c22, self.c33)[axis]
+
+    def _shear(self, a: int, b: int):
+        a, b = min(a, b), max(a, b)
+        return {(1, 2): self.c44, (0, 2): self.c55, (0, 1): self.c66}[(a, b)]
+
+    def _offdiag(self, a: int, b: int):
+        a, b = min(a, b), max(a, b)
+        return {(0, 1): self.c12, (0, 2): self.c13, (1, 2): self.c23}[(a, b)]
+
+    def max_cp(self) -> float:
+        import numpy as _np
+
+        return float(max(_np.sqrt(_np.max(_np.asarray(cii) / _np.asarray(self.rho)))
+                         for cii in (self.c11, self.c22, self.c33)))
+
+    def axis_view(self, axis: int, stage_spec) -> AxisView:
+        import jax.numpy as jnp
+
+        def spd(stiff):
+            return jnp.sqrt(stiff / self.rho)
+
+        pc, pz = [], []
+        for p in stage_spec.pairs:
+            if p.traction_axis == axis:          # P pair along this axis
+                stiff = self._diag(axis)
+            else:                                 # shear pair
+                stiff = self._shear(axis, p.traction_axis)
+            c = spd(stiff)
+            pc.append(c)
+            pz.append(self.rho * c)
+        # zero invariants: sigma_bb_t = c_{ab} dv_a/da during the a-sweep,
+        # so sigma_bb − (c_ab/c_aa) sigma_aa is frozen
+        zk = []
+        for zc in stage_spec.zeros:
+            b = _DIAG_AXIS_OF_COMP[zc.comp]
+            zk.append(self._offdiag(axis, b) / self._diag(axis))
+        return AxisView(pair_c=pc, pair_z=pz, zero_kappa=zk)
+
+
+#: diagonal-stress component index -> its axis, for the 3D/2D elastic models
+#: (elastic3d: sxx=3, syy=6, szz=8; elastic2d: sxx=2, syy=4) — validated in
+#: tests against models.spec orderings.
+_DIAG_AXIS_OF_COMP = {3: 0, 6: 1, 8: 2, 2: 0, 4: 1}
+
 
 def _register_pytree() -> None:
     import jax
@@ -133,6 +230,12 @@ def _register_pytree() -> None:
         MaterialFields,
         lambda m: ((m.cp, m.cs, m.zp, m.zs, m.kappa, m.rho), None),
         lambda _, leaves: MaterialFields(*leaves),
+    )
+    ortho_fields = [f.name for f in dataclasses.fields(OrthotropicMaterialFields)]
+    jax.tree_util.register_pytree_node(
+        OrthotropicMaterialFields,
+        lambda m: (tuple(getattr(m, f) for f in ortho_fields), None),
+        lambda _, leaves: OrthotropicMaterialFields(*leaves),
     )
 
 

@@ -124,32 +124,28 @@ def _patch_halo(win, d: int, r: int, cx: int, is_first, is_last):
 
 def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
                        dt_over_h: float, borders: Optional[Borders],
-                       d: int, cx: int, n_chunks: int, shapes):
+                       d: int, cx: int, n_chunks: int,
+                       n_c: int, c_map, n_z: int, z_map,
+                       n_k: int, k_map):
     """Build the kernel body for one sweep. ``d`` is the block dim of the
-    sweep axis; ``cx`` the chunk length; windows have length cx + 2r."""
+    sweep axis; ``cx`` the chunk length; windows have length cx + 2r.
+    ``n_c/n_z/n_k`` count the deduplicated speed/impedance/kappa fields and
+    ``*_map`` give each pair's (zero's) index into them."""
     st = model.stage(axis)
     r = stencil_radius(order)
     npairs = len(st.pairs)
     nzeros = len(st.zeros)
-    waves = [p.wave for p in st.pairs]
-    need_kappa = nzeros > 0
 
     def kernel(*refs):
         # ref order:
-        #  [A_win, B_win] * npairs,  c per wave-kind used, z per wave-kind,
-        #  kappa?, [zero_comp, zero_src_old?]...  then outputs:
+        #  [A_win, B_win] * npairs, c fields (deduped), z fields (deduped),
+        #  kappa fields (deduped), [zero_comp] * nzeros; then outputs:
         #  [A_out, B_out] * npairs, [zero_out] * nzeros
         it = iter(refs)
         wins = [(next(it), next(it)) for _ in range(npairs)]
-        c_refs = {}
-        z_refs = {}
-        for w in ("p", "s"):
-            if w in waves:
-                c_refs[w] = next(it)
-        for w in ("p", "s"):
-            if w in waves:
-                z_refs[w] = next(it)
-        kappa_ref = next(it) if need_kappa else None
+        c_refs = [next(it) for _ in range(n_c)]
+        z_refs = [next(it) for _ in range(n_z)]
+        kappa_refs = [next(it) for _ in range(n_k)]
         zero_refs = [next(it) for _ in range(nzeros)]
         a_outs = [(next(it), next(it)) for _ in range(npairs)]
         z_outs = [next(it) for _ in range(nzeros)]
@@ -158,9 +154,9 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
         is_first = ic == 0
         is_last = ic == n_chunks - 1
 
-        # precompute weights per wave kind present
-        nu = {w: c_refs[w][...] * dt_over_h for w in c_refs}
-        wts = {w: stencil_weights(order, nu[w]) for w in nu}
+        # precompute weights per distinct speed field
+        wts_by_c = [stencil_weights(order, c_refs[i][...] * dt_over_h)
+                    for i in range(n_c)]
         offs_p = stencil_offsets(order, +1)
         offs_m = stencil_offsets(order, -1)
 
@@ -170,8 +166,8 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
             a_ref, b_ref = wins[k]
             aw = _patch_halo(a_ref[...], d, r, cx, is_first, is_last)
             bw = _patch_halo(b_ref[...], d, r, cx, is_first, is_last)
-            z = z_refs[p.wave][...]
-            wt = wts[p.wave]
+            z = z_refs[z_map[k]][...]
+            wt = wts_by_c[c_map[k]]
 
             def interp(win, offs):
                 out = None
@@ -204,16 +200,16 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
                 src_news[p.sigma] = a_new
                 src_olds[p.sigma] = _slab(aw, d, r, cx)
 
-        if need_kappa:
-            kap = kappa_ref[...]
-            for j, zc in enumerate(st.zeros):
-                dsrc = src_news[zc.src] - src_olds[zc.src]
-                z_outs[j][...] = zero_refs[j][...] + kap * dsrc
+        for j, zc in enumerate(st.zeros):
+            kap = kappa_refs[k_map[j]][...]
+            dsrc = src_news[zc.src] - src_olds[zc.src]
+            z_outs[j][...] = zero_refs[j][...] + kap * dsrc
 
     return kernel
 
 
-def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int):
+def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
+                     n_c: int, n_z: int, n_k: int):
     """Grid + block specs. Block layout (b0, b1, b2) == spatial dims; the
     sweep axis gets the chunk/window, the other two get (8, 128)-ish tiles;
     the last axis always keeps a multiple-of-128 tile."""
@@ -251,16 +247,8 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int):
     # pair windows
     for _ in st.pairs:
         in_specs += [win_spec, win_spec]
-    waves = [p.wave for p in st.pairs]
-    for w in ("p", "s"):
-        if w in waves:
-            in_specs.append(blk_spec)   # c field
-    for w in ("p", "s"):
-        if w in waves:
-            in_specs.append(blk_spec)   # z field
-    if st.zeros:
-        in_specs.append(blk_spec)       # kappa
-    in_specs += [blk_spec] * len(st.zeros)  # zero comps
+    in_specs += [blk_spec] * (n_c + n_z + n_k)      # material fields
+    in_specs += [blk_spec] * len(st.zeros)          # zero comps
 
     out_specs = [blk_spec] * (2 * len(st.pairs) + len(st.zeros))
     return grid, in_specs, out_specs, d, grid[2]
@@ -291,26 +279,39 @@ def pallas_stage(
                 cx = c
                 break
 
+    # deduplicate shared material fields by identity (isotropic media share
+    # one c/z per wave family and a single kappa; orthotropic may not)
+    view = mat.axis_view(axis, st)
+
+    def _dedup(arrs):
+        uniq, index = [], []
+        for a in arrs:
+            for i, b in enumerate(uniq):
+                if a is b:
+                    index.append(i)
+                    break
+            else:
+                index.append(len(uniq))
+                uniq.append(a)
+        return uniq, tuple(index)
+
+    c_uniq, c_map = _dedup(view.pair_c)
+    z_uniq, z_map = _dedup(view.pair_z)
+    k_uniq, k_map = _dedup(view.zero_kappa)
+
     grid, in_specs, out_specs, d, n_chunks = _specs_for_sweep(
-        model, axis, order, shape, cx
+        model, axis, order, shape, cx, len(c_uniq), len(z_uniq), len(k_uniq)
     )
     kernel = _make_sweep_kernel(
         model, axis, order, model.sign, float(dt / h[axis]), borders,
-        d, cx, n_chunks, shape,
+        d, cx, n_chunks,
+        len(c_uniq), c_map, len(z_uniq), z_map, len(k_uniq), k_map,
     )
 
-    waves = [p.wave for p in st.pairs]
     inputs = []
     for p in st.pairs:
         inputs += [u[p.sigma], u[p.vel]]
-    for w in ("p", "s"):
-        if w in waves:
-            inputs.append(mat.c(w))
-    for w in ("p", "s"):
-        if w in waves:
-            inputs.append(mat.z(w))
-    if st.zeros:
-        inputs.append(mat.kappa)
+    inputs += c_uniq + z_uniq + k_uniq
     for zc in st.zeros:
         inputs.append(u[zc.comp])
 

@@ -10,8 +10,13 @@ one pass, no gathers, VPU-only. This jnp formulation is the semantics of
 record; gcm_tpu.ops.pallas_stage provides the hand-fused kernel with
 identical numerics.
 
-State layout: ``u[ncomp, *spatial]`` float32, material fields ``[*spatial]``
-(struct-of-arrays, SURVEY.md §2 component 6).
+Material quantities arrive as a per-axis ``AxisView`` (materials.axis_view):
+per-pair wave-speed and impedance fields and per-zero coupling ratios —
+the single generalization point that serves isotropic and orthotropic media
+with the same sweep code.
+
+State layout: ``u[ncomp, *spatial]`` float32/float64, material fields
+``[*spatial]`` (struct-of-arrays, SURVEY.md §2 component 6).
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from typing import Dict, Tuple
 
 import jax.numpy as jnp
 
-from gcm_tpu.materials import MaterialFields
+from gcm_tpu.materials import AxisView
 from gcm_tpu.models.spec import Model, PairSpec
 from gcm_tpu.ops.interp import (
     edge_pad, interp_padded, stencil_radius, stencil_weights,
@@ -71,8 +76,8 @@ def reconstruct_pair(w_l, w_r, z, B_old, sign: int):
 def stage_pair_updates(
     model: Model,
     u: jnp.ndarray,
-    mat: MaterialFields,
-    courant: Dict[str, jnp.ndarray],
+    view: AxisView,
+    dt_over_h,
     axis: int,
     order: int,
 ) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, PairSpec]]:
@@ -86,24 +91,18 @@ def stage_pair_updates(
     out = {}
     for k, p in enumerate(model.stage(axis).pairs):
         A, B = u[p.sigma], u[p.vel]
-        z = mat.z(p.wave)
-        nu = courant[p.wave]
+        z = view.pair_z[k]
+        nu = view.pair_c[k] * dt_over_h
         w_l, w_r = pair_invariants_at_feet(A, B, z, nu, model.sign, order, ax)
         out[k] = (w_l, w_r, p)
     return out
-
-
-def courant_fields(mat: MaterialFields, dt, h: float) -> Dict[str, jnp.ndarray]:
-    """Per-node Courant numbers nu = c*dt/h for each wave family."""
-    r = dt / h
-    return {"p": mat.cp * r, "s": mat.cs * r}
 
 
 def apply_zero_invariants(
     model: Model,
     u_old: jnp.ndarray,
     comps: Dict[int, jnp.ndarray],
-    mat: MaterialFields,
+    view: AxisView,
     axis: int,
 ) -> None:
     """Update zero-speed invariants in ``comps`` (in place on the dict).
@@ -113,6 +112,6 @@ def apply_zero_invariants(
     using the *final* (post-BC) sigma_aa. Untouched components (e.g. the
     transverse shear in 3D) carry over implicitly.
     """
-    for zc in model.stage(axis).zeros:
+    for j, zc in enumerate(model.stage(axis).zeros):
         d_src = comps[zc.src] - u_old[zc.src]
-        comps[zc.comp] = u_old[zc.comp] + mat.kappa * d_src
+        comps[zc.comp] = u_old[zc.comp] + view.zero_kappa[j] * d_src

@@ -104,8 +104,6 @@ def make_spmd_step(
         def raw_stage(u, mat, axis):
             return jnp_stage(model, u, mat, dt, h, axis, order, None)
 
-    mat_leaves = ("cp", "cs", "zp", "zs", "kappa", "rho")
-
     def local_step(u, mat, axes):
         for axis in axes:
             name = spatial_names.get(axis)
@@ -114,10 +112,8 @@ def make_spmd_step(
                 u_new = raw_stage(u, mat, axis)
             else:
                 u_ext = halo_exchange(u, name, axis + 1, r)
-                mat_ext = MaterialFields(*[
-                    halo_exchange(getattr(mat, leaf), name, axis, r)
-                    for leaf in mat_leaves
-                ])
+                mat_ext = jax.tree.map(
+                    lambda a: halo_exchange(a, name, axis, r), mat)
                 u_new = _crop(raw_stage(u_ext, mat_ext, axis), axis + 1, r)
             if borders:
                 if name is None:
@@ -146,7 +142,7 @@ def make_spmd_step(
             fn = jax.jit(jax.shard_map(
                 partial(local_step, axes=axes),
                 mesh=mesh,
-                in_specs=(u_spec, MaterialFields(*([m_spec] * 6))),
+                in_specs=(u_spec, jax.tree.map(lambda _: m_spec, mat)),
                 out_specs=u_spec,
                 # pallas_call's ShapeDtypeStruct outputs carry no varying-
                 # mesh-axes annotation; skip the vma check

@@ -61,6 +61,7 @@ def apply_borders_post(
     """
     st = model.stage(axis)
     sign = model.sign
+    view = mat.axis_view(axis, st)
     u_new = u_raw
     for side in (0, 1):
         bc = borders.get((axis, side)) if borders else None
@@ -71,8 +72,8 @@ def apply_borders_post(
             continue
         idx = face_index(axis, side)
         sigma_fixed = {}
-        for p in st.pairs:
-            z_b = mat.z(p.wave)[idx]
+        for k, p in enumerate(st.pairs):
+            z_b = view.pair_z[k][idx]
             A_b = u_new[p.sigma][idx]
             B_b = u_new[p.vel][idx]
             szb = sign * z_b
@@ -113,9 +114,9 @@ def apply_borders_post(
             u_new = u_new.at[(p.sigma,) + idx].set(A2)
             u_new = u_new.at[(p.vel,) + idx].set(B2)
             sigma_fixed[p.sigma] = A2
-        for zc in st.zeros:
+        for j, zc in enumerate(st.zeros):
             if zc.src in sigma_fixed:
-                kap = mat.kappa[idx]
+                kap = view.zero_kappa[j][idx]
                 z_new = u_old[zc.comp][idx] + kap * (
                     sigma_fixed[zc.src] - u_old[zc.src][idx]
                 )

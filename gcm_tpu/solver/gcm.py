@@ -54,13 +54,13 @@ def stage(
 ) -> jnp.ndarray:
     """One characteristic sweep along ``axis`` over the whole field array."""
     ax = axis  # component arrays u[i] are spatial-rank
-    r = dt / h[axis]
-    courant = {"p": mat.cp * r, "s": mat.cs * r}
-    pair_ws = stage_pair_updates(model, u, mat, courant, axis, order)
+    st = model.stage(axis)
+    view = mat.axis_view(axis, st)
+    pair_ws = stage_pair_updates(model, u, view, dt / h[axis], axis, order)
 
     comps: Dict[int, jnp.ndarray] = {}
-    for _, (w_l, w_r, p) in pair_ws.items():
-        z = mat.z(p.wave)
+    for k, (w_l, w_r, p) in pair_ws.items():
+        z = view.pair_z[k]
         if borders is not None:
             for side in (0, 1):
                 bc = borders.get((axis, side))
@@ -73,7 +73,7 @@ def stage(
         comps[p.sigma] = A_new
         comps[p.vel] = B_new
 
-    apply_zero_invariants(model, u, comps, mat, axis)
+    apply_zero_invariants(model, u, comps, view, axis)
     return jnp.stack([comps.get(i, u[i]) for i in range(model.ncomp)])
 
 

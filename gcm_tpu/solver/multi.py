@@ -46,10 +46,12 @@ def stage_multi(
     """One sweep along ``axis`` for every body, with contact coupling."""
     # 1. raw invariant updates per body
     pair_ws: Dict[str, Dict[int, tuple]] = {}
+    views = {}
+    st = model.stage(axis)
     for name, u in us.items():
-        r = dt / hs[name][axis]
-        courant = {"p": mats[name].cp * r, "s": mats[name].cs * r}
-        pair_ws[name] = stage_pair_updates(model, u, mats[name], courant, axis, order)
+        views[name] = mats[name].axis_view(axis, st)
+        pair_ws[name] = stage_pair_updates(
+            model, u, views[name], dt / hs[name][axis], axis, order)
 
     # faces consumed by a contact (border conditions must not touch them)
     contact_faces = set()
@@ -83,10 +85,10 @@ def stage_multi(
     # 3. border corrections on non-contact faces, then reconstruction
     out: BodyStates = {}
     for name, u in us.items():
-        mat = mats[name]
+        view = views[name]
         comps: Dict[int, jnp.ndarray] = {}
         for k, (w_l, w_r, p) in pair_ws[name].items():
-            z = mat.z(p.wave)
+            z = view.pair_z[k]
             for side in (0, 1):
                 if (name, axis, side) in contact_faces:
                     continue
@@ -99,7 +101,7 @@ def stage_multi(
             A_new, B_new = reconstruct_pair(w_l, w_r, z, u[p.vel], model.sign)
             comps[p.sigma] = A_new
             comps[p.vel] = B_new
-        apply_zero_invariants(model, u, comps, mat, axis)
+        apply_zero_invariants(model, u, comps, view, axis)
         out[name] = jnp.stack([comps.get(i, u[i]) for i in range(model.ncomp)])
     return out, new_bonded
 

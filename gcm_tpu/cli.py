@@ -32,6 +32,8 @@ def _build_parser():
     r.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in outdir")
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    r.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace into <outdir>/trace")
 
     sub.add_parser("list", help="list available scenarios")
 
@@ -75,6 +77,12 @@ def main(argv=None) -> int:
         kw["n"] = args.n
     if args.nsteps is not None:
         kw["nsteps"] = args.nsteps
+
+    if args.scenario == "elastic3d_contact":
+        return _run_contact(args, kw)
+    if args.scenario.startswith("simplex"):
+        return _run_simplex(args, kw)
+
     task = get_scenario(args.scenario, **kw)
     if args.snapshot_every is not None:
         task = dataclasses.replace(
@@ -94,13 +102,64 @@ def main(argv=None) -> int:
             eng.u = state["u"]
             print(f"resumed from step {step}", file=sys.stderr)
 
-    res = eng.run_with_outputs(args.outdir,
-                               checkpoint_every=args.checkpoint_every)
+    import os
+
+    from gcm_tpu.utils.profiling import trace
+
+    with trace(os.path.join(args.outdir, "trace") if args.profile else None):
+        res = eng.run_with_outputs(args.outdir,
+                                   checkpoint_every=args.checkpoint_every)
     print(json.dumps({
         "scenario": task.name,
         "nsteps": res.nsteps,
         "dt": res.dt,
         "t_end": res.t,
+        "wall_seconds": round(res.wall_seconds, 3),
+        "points_per_second": round(res.points_per_second, 1),
+        "outdir": args.outdir,
+    }))
+    return 0
+
+
+def _run_contact(args, kw) -> int:
+    from gcm_tpu.engine_multi import MultiBodyEngine
+    from gcm_tpu.scenarios import elastic3d_contact
+
+    bodies, contacts = elastic3d_contact(**kw)
+    eng = MultiBodyEngine(bodies, contacts)
+    res = eng.run()
+    eng.write_snapshots(args.outdir)
+    print(json.dumps({
+        "scenario": "elastic3d_contact",
+        "nsteps": res.nsteps,
+        "dt": res.dt,
+        "broken_fraction": round(float(1.0 - res.bonded[0].mean()), 4)
+        if res.bonded else None,
+        "wall_seconds": round(res.wall_seconds, 3),
+        "points_per_second": round(res.points_per_second, 1),
+        "outdir": args.outdir,
+    }))
+    return 0
+
+
+def _run_simplex(args, kw) -> int:
+    import os
+
+    from gcm_tpu import scenarios
+
+    factory = getattr(scenarios, args.scenario, None)
+    if factory is None:
+        raise SystemExit(f"unknown simplex scenario {args.scenario!r}")
+    nsteps = kw.pop("nsteps", 200)
+    eng = factory(**kw)
+    res = eng.run(nsteps)
+    os.makedirs(args.outdir, exist_ok=True)
+    eng.write_snapshot(os.path.join(args.outdir, f"{args.scenario}.vtu"))
+    print(json.dumps({
+        "scenario": args.scenario,
+        "nsteps": res.nsteps,
+        "dt": res.dt,
+        "npoints": eng.grid.npoints,
         "wall_seconds": round(res.wall_seconds, 3),
         "points_per_second": round(res.points_per_second, 1),
         "outdir": args.outdir,

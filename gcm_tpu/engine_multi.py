@@ -34,6 +34,7 @@ class MultiRunResult:
     dt: float
     wall_seconds: float
     points_per_second: float
+    traces: Optional[Dict[str, np.ndarray]] = None  # body -> [steps, np, nc]
 
 
 class MultiBodyEngine:
@@ -86,6 +87,13 @@ class MultiBodyEngine:
                 slab = tuple(s for a, s in enumerate(shape_a) if a != c.axis)
                 self.bonded[ci] = jnp.ones(slab, dtype=dtype)
 
+        # detectors (per body)
+        self._det_idx: Dict[str, np.ndarray] = {}
+        for name, task in bodies.items():
+            if task.detectors is not None:
+                pts = [task.grid.index_of(p) for p in task.detectors.points]
+                self._det_idx[name] = np.asarray(pts, dtype=np.int32)
+
         # sources (per body)
         self._srcs = []
         for name, task in bodies.items():
@@ -120,22 +128,41 @@ class MultiBodyEngine:
             if self._srcs else jnp.zeros((nsteps, 0), dtype=jnp.float32)
         ).reshape(nsteps // period, period, -1)
 
+        def detect(us):
+            out = {}
+            for name, idx in self._det_idx.items():
+                cols = [us[name][(slice(None),) + tuple(int(i) for i in node)]
+                        for node in idx]
+                out[name] = jnp.stack(cols)
+            return out
+
         def body(carry, x):
             us, bonded = carry
+            trs = []
             for p in range(period):
                 us, bonded = self._one_step(us, bonded, x[p], p)
-            return (us, bonded), ()
+                trs.append(detect(us))
+            stacked = {k: jnp.stack([t[k] for t in trs]) for k in trs[0]} \
+                if self._det_idx else {}
+            return (us, bonded), stacked
 
         @partial(jax.jit, donate_argnums=0)
         def scan_all(carry, amps):
-            return jax.lax.scan(body, carry, amps)[0]
+            return jax.lax.scan(body, carry, amps)
 
         t0 = _time.perf_counter()
-        us, bonded = scan_all((self.us, self.bonded), amps)
+        (us, bonded), traces = scan_all((self.us, self.bonded), amps)
         jax.tree.map(lambda a: a.block_until_ready(), us)
         wall = _time.perf_counter() - t0
         npts = sum(int(np.prod(t.grid.shape)) for t in self.tasks.values())
         self.us, self.bonded = us, bonded
+        trace_out = None
+        if self._det_idx:
+            trace_out = {
+                k: np.asarray(v).reshape(-1, len(self._det_idx[k]),
+                                         self.model.ncomp)
+                for k, v in traces.items()
+            }
         return MultiRunResult(
             bodies={k: np.asarray(jax.device_get(v)) for k, v in us.items()},
             bonded={k: np.asarray(jax.device_get(v)) for k, v in bonded.items()},
@@ -144,4 +171,23 @@ class MultiBodyEngine:
             dt=self.dt,
             wall_seconds=wall,
             points_per_second=npts * nsteps / max(wall, 1e-12),
+            traces=trace_out,
         )
+
+    def write_snapshots(self, outdir: str, tag: str = "final") -> None:
+        """Per-body VTK snapshots + the interface bond masks as .npy."""
+        import os
+
+        from gcm_tpu.snapshot.vtk import snapshot_fields, write_vti
+
+        os.makedirs(outdir, exist_ok=True)
+        for name, task in self.tasks.items():
+            u = np.asarray(jax.device_get(self.us[name]))
+            write_vti(
+                os.path.join(outdir, f"{name}_{tag}.vti"),
+                task.grid.shape, task.grid.h, task.grid.origin,
+                snapshot_fields(self.model, u),
+            )
+        for ci, mask in self.bonded.items():
+            np.save(os.path.join(outdir, f"contact{ci}_bonded_{tag}.npy"),
+                    np.asarray(jax.device_get(mask)))

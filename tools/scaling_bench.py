@@ -1,0 +1,101 @@
+"""Weak-scaling measurement harness (BASELINE.md measurement plan #2).
+
+Fix the per-device subdomain, grow the global domain with the device count,
+measure points/s; efficiency(N) = pps(N) / (N * pps(1)). On a multi-host
+TPU pod this runs after ``jax.distributed.initialize()`` with real chips
+over ICI/DCN; on this single-chip environment it can only be *validated
+mechanically* with virtual CPU devices (pass --virtual N), where the
+numbers mean nothing but the harness, meshes, and collectives are real.
+
+Usage:
+  python tools/scaling_bench.py --virtual 8         # CPU mechanics check
+  python tools/scaling_bench.py                     # real devices
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="use N virtual CPU devices (mechanics validation)")
+    ap.add_argument("--per-device", default="128,128,128",
+                    help="per-device subdomain shape")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--path", choices=["jnp", "pallas"], default="jnp")
+    args = ap.parse_args()
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import jax.numpy as jnp
+
+    from gcm_tpu.materials import IsotropicMaterial, MaterialFields
+    from gcm_tpu.models.spec import get_model
+    from gcm_tpu.parallel.halo import make_spmd_step
+    from gcm_tpu.parallel.sharding import domain_mesh, shard_state
+    from gcm_tpu.task import BorderSpec
+
+    per_dev = tuple(int(x) for x in args.per_device.split(","))
+    model = get_model("elastic3d")
+    MAT = IsotropicMaterial.from_speeds(2500.0, 4000.0, 2300.0)
+    borders = {(a, s): BorderSpec("absorbing") for a in range(3) for s in (0, 1)}
+    h = (10.0, 10.0, 10.0)
+    dt = 0.8 * min(h) / MAT.cp
+
+    results = []
+    ndev_all = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= ndev_all]
+    for n in sizes:
+        mesh = domain_mesh(3, devices=jax.devices()[:n])
+        mx, my = mesh.devices.shape
+        shape = (per_dev[0] * mx, per_dev[1] * my, per_dev[2])
+        rng = np.random.default_rng(0)
+        u0 = jnp.asarray(
+            0.01 * rng.standard_normal((model.ncomp,) + shape),
+            dtype=jnp.float32)
+        mat = MaterialFields.uniform(MAT, shape, xp=jnp, dtype=jnp.float32)
+        u, mat = shard_state(u0, mat, mesh)
+        step = make_spmd_step(model, mesh, dt, h, 2, borders,
+                              use_pallas=(args.path == "pallas"))
+        u = step(u, mat)                      # compile
+        float(np.asarray(u[0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            u = step(u, mat)
+        float(np.asarray(u[0, 0, 0, 0]))      # forced sync
+        dtw = (time.perf_counter() - t0) / args.steps
+        pps = int(np.prod(shape)) / dtw
+        results.append({"devices": n, "mesh": list(mesh.devices.shape),
+                        "global_shape": list(shape),
+                        "points_per_s": round(pps, 1)})
+        print(json.dumps(results[-1]), flush=True)
+
+    if len(results) > 1:
+        base = results[0]["points_per_s"]
+        for r in results[1:]:
+            eff = r["points_per_s"] / (r["devices"] * base)
+            print(json.dumps({"devices": r["devices"],
+                              "weak_scaling_efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()

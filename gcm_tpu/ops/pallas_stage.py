@@ -126,7 +126,7 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
                        dt_over_h: float, borders: Optional[Borders],
                        d: int, cx: int, n_chunks: int,
                        n_c: int, c_map, n_z: int, z_map,
-                       n_k: int, k_map):
+                       n_k: int, k_map, chunk_pid: int = 2):
     """Build the kernel body for one sweep. ``d`` is the block dim of the
     sweep axis; ``cx`` the chunk length; windows have length cx + 2r.
     ``n_c/n_z/n_k`` count the deduplicated speed/impedance/kappa fields and
@@ -150,7 +150,7 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
         a_outs = [(next(it), next(it)) for _ in range(npairs)]
         z_outs = [next(it) for _ in range(nzeros)]
 
-        ic = pl.program_id(2)  # chunk index along sweep axis (innermost)
+        ic = pl.program_id(chunk_pid)  # chunk index along sweep axis
         is_first = ic == 0
         is_last = ic == n_chunks - 1
 
@@ -215,8 +215,35 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
     the last axis always keeps a multiple-of-128 tile."""
     st = model.stage(axis)
     r = stencil_radius(order)
-    n0, n1, n2 = shape
     TS, TL = 8, 128  # sublane / lane tile for non-sweep dims
+
+    if len(shape) == 2:
+        n0, n1 = shape
+        if axis == 0:
+            grid = (pl.cdiv(n1, TL), pl.cdiv(n0, cx))
+            blk = (cx, TL)
+            win = (pl.Element(cx + 2 * r, padding=(r, r)), TL)
+            iw = lambda j, i: (i * cx, j)
+            ib = lambda j, i: (i, j)
+            d = 0
+        else:
+            grid = (pl.cdiv(n0, TS), pl.cdiv(n1, cx))
+            blk = (TS, cx)
+            win = (TS, pl.Element(cx + 2 * r, padding=(r, r)))
+            iw = lambda j, i: (j, i * cx)
+            ib = lambda j, i: (j, i)
+            d = 1
+        win_spec = pl.BlockSpec(win, iw, memory_space=pltpu.VMEM)
+        blk_spec = pl.BlockSpec(blk, ib, memory_space=pltpu.VMEM)
+        in_specs = []
+        for _ in st.pairs:
+            in_specs += [win_spec, win_spec]
+        in_specs += [blk_spec] * (n_c + n_z + n_k)
+        in_specs += [blk_spec] * len(st.zeros)
+        out_specs = [blk_spec] * (2 * len(st.pairs) + len(st.zeros))
+        return grid, in_specs, out_specs, d, grid[-1]
+
+    n0, n1, n2 = shape
 
     if axis == 0:
         grid = (pl.cdiv(n1, TS), pl.cdiv(n2, TL), pl.cdiv(n0, cx))
@@ -265,9 +292,9 @@ def pallas_stage(
     borders: Optional[Borders] = None,
     cx: int = 64,
 ) -> jnp.ndarray:
-    """Drop-in replacement for solver.gcm.stage on 3D grids (f32)."""
-    if u.ndim != 4:
-        raise ValueError("pallas_stage supports 3D grids only")
+    """Drop-in replacement for solver.gcm.stage on 2D/3D grids (f32)."""
+    if u.ndim not in (3, 4):
+        raise ValueError("pallas_stage supports 2D and 3D grids only")
     st = model.stage(axis)
     shape = u.shape[1:]
     n_sweep = shape[axis]
@@ -306,6 +333,7 @@ def pallas_stage(
         model, axis, order, model.sign, float(dt / h[axis]), borders,
         d, cx, n_chunks,
         len(c_uniq), c_map, len(z_uniq), z_map, len(k_uniq), k_map,
+        chunk_pid=len(grid) - 1,
     )
 
     inputs = []

@@ -21,6 +21,7 @@ State layout: ``u[ncomp, *spatial]`` float32/float64, material fields
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
@@ -28,10 +29,15 @@ import jax.numpy as jnp
 from gcm_tpu.materials import AxisView
 from gcm_tpu.models.spec import Model, PairSpec
 from gcm_tpu.ops.interp import (
-    edge_pad, interp_padded, stencil_radius, stencil_weights,
+    edge_pad, interp_at_foot, interp_padded, stencil_radius, stencil_weights,
 )
 
 _Z_EPS = 1e-30
+
+#: 'pad' = pad-once/slice-many (fewer materializations, default);
+#: 'concat' = per-shift slice+concat. Both are numerically identical —
+#: the switch exists because compiler behavior can differ per backend.
+_INTERP_IMPL = os.environ.get("GCM_TPU_INTERP", "pad")
 
 
 def pair_invariants_at_feet(
@@ -45,16 +51,22 @@ def pair_invariants_at_feet(
     invariants are formed with the *target node's* impedance applied to the
     interpolated neighbor fields.
     """
-    r = stencil_radius(order)
-    n = A.shape[ax]
-    A_pad = edge_pad(A, ax, r)
-    B_pad = edge_pad(B, ax, r)
-    wts = stencil_weights(order, nu)  # direction-independent (offsets are
-    # direction-relative), so one weight set serves both feet
-    A_p = interp_padded(A_pad, wts, +1, order, ax, r, n)
-    B_p = interp_padded(B_pad, wts, +1, order, ax, r, n)
-    A_m = interp_padded(A_pad, wts, -1, order, ax, r, n)
-    B_m = interp_padded(B_pad, wts, -1, order, ax, r, n)
+    if _INTERP_IMPL == "concat":
+        A_p = interp_at_foot(A, nu, +1, order, ax)
+        B_p = interp_at_foot(B, nu, +1, order, ax)
+        A_m = interp_at_foot(A, nu, -1, order, ax)
+        B_m = interp_at_foot(B, nu, -1, order, ax)
+    else:
+        r = stencil_radius(order)
+        n = A.shape[ax]
+        A_pad = edge_pad(A, ax, r)
+        B_pad = edge_pad(B, ax, r)
+        wts = stencil_weights(order, nu)  # direction-independent (offsets
+        # are direction-relative), so one weight set serves both feet
+        A_p = interp_padded(A_pad, wts, +1, order, ax, r, n)
+        B_p = interp_padded(B_pad, wts, +1, order, ax, r, n)
+        A_m = interp_padded(A_pad, wts, -1, order, ax, r, n)
+        B_m = interp_padded(B_pad, wts, -1, order, ax, r, n)
     szb = sign * z
     w_l = A_p + szb * B_p
     w_r = A_m - szb * B_m

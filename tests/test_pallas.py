@@ -84,6 +84,29 @@ def test_pallas_full_step_matches_jnp(rng):
     _compare(model, got, want)
 
 
+@pytest.mark.parametrize("axis", [0, 1])
+@pytest.mark.parametrize("model_name", ["elastic2d", "acoustic2d"])
+def test_pallas_2d_matches_jnp(axis, model_name, rng):
+    from gcm_tpu.solver.gcm import stage as jnp_stage
+
+    model = get_model(model_name)
+    shape = (32, 256)
+    rho = 1000.0 * (1.0 + 0.5 * rng.random(shape))
+    mu = np.zeros(shape) if model_name.startswith("acoustic") \
+        else 1e9 * (0.5 + rng.random(shape))
+    lam = 1e9 * (1.0 + rng.random(shape))
+    u0 = rng.standard_normal((model.ncomp,) + shape)
+    mat = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=jnp.float32)
+    u = jnp.asarray(u0, dtype=jnp.float32)
+    dt = 0.6 / float(np.sqrt((lam + 2 * mu) / rho).max())
+    h = (1.0, 1.3)
+    borders = {(a, s): BorderSpec(k) for a in (0, 1)
+               for s, k in [(0, "free"), (1, "absorbing")]}
+    want = jnp_stage(model, u, mat, dt, h, axis, 2, borders)
+    got = ps.pallas_stage(model, u, mat, dt, h, axis, 2, borders, cx=8)
+    _compare(model, got, want)
+
+
 def test_pallas_order3_uneven_chunks(rng):
     """Non-divisible sweep extent falls back to a divisor chunk."""
     shape = (24, 16, 128)

@@ -217,20 +217,25 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
     r = stencil_radius(order)
     TS, TL = 8, 128  # sublane / lane tile for non-sweep dims
 
+    # Mosaic requires block dims to be all-Element or all-Blocked: windowed
+    # inputs use Element on every dim (index maps return ELEMENT offsets),
+    # plain inputs/outputs use Blocked (index maps return BLOCK indices).
+    E = pl.Element
+
     if len(shape) == 2:
         n0, n1 = shape
         if axis == 0:
             grid = (pl.cdiv(n1, TL), pl.cdiv(n0, cx))
             blk = (cx, TL)
-            win = (pl.Element(cx + 2 * r, padding=(r, r)), TL)
-            iw = lambda j, i: (i * cx, j)
+            win = (E(cx + 2 * r, padding=(r, r)), E(TL))
+            iw = lambda j, i: (i * cx, j * TL)
             ib = lambda j, i: (i, j)
             d = 0
         else:
             grid = (pl.cdiv(n0, TS), pl.cdiv(n1, cx))
             blk = (TS, cx)
-            win = (TS, pl.Element(cx + 2 * r, padding=(r, r)))
-            iw = lambda j, i: (j, i * cx)
+            win = (E(TS), E(cx + 2 * r, padding=(r, r)))
+            iw = lambda j, i: (j * TS, i * cx)
             ib = lambda j, i: (j, i)
             d = 1
         win_spec = pl.BlockSpec(win, iw, memory_space=pltpu.VMEM)
@@ -248,22 +253,22 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
     if axis == 0:
         grid = (pl.cdiv(n1, TS), pl.cdiv(n2, TL), pl.cdiv(n0, cx))
         blk = (cx, TS, TL)
-        win = (pl.Element(cx + 2 * r, padding=(r, r)), TS, TL)
-        iw = lambda j, k, i: (i * cx, j, k)          # element offset on dim 0
-        ib = lambda j, k, i: (i, j, k)               # block index
+        win = (E(cx + 2 * r, padding=(r, r)), E(TS), E(TL))
+        iw = lambda j, k, i: (i * cx, j * TS, k * TL)  # element offsets
+        ib = lambda j, k, i: (i, j, k)                 # block indices
         d = 0
     elif axis == 1:
         grid = (pl.cdiv(n0, TS), pl.cdiv(n2, TL), pl.cdiv(n1, cx))
         blk = (TS, cx, TL)
-        win = (TS, pl.Element(cx + 2 * r, padding=(r, r)), TL)
-        iw = lambda j, k, i: (j, i * cx, k)
+        win = (E(TS), E(cx + 2 * r, padding=(r, r)), E(TL))
+        iw = lambda j, k, i: (j * TS, i * cx, k * TL)
         ib = lambda j, k, i: (j, i, k)
         d = 1
     else:
         grid = (pl.cdiv(n0, TS), pl.cdiv(n1, TS), pl.cdiv(n2, cx))
         blk = (TS, TS, cx)
-        win = (TS, TS, pl.Element(cx + 2 * r, padding=(r, r)))
-        iw = lambda j, k, i: (j, k, i * cx)
+        win = (E(TS), E(TS), E(cx + 2 * r, padding=(r, r)))
+        iw = lambda j, k, i: (j * TS, k * TS, i * cx)
         ib = lambda j, k, i: (j, k, i)
         d = 2
 

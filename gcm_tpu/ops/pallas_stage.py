@@ -126,23 +126,38 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
                        dt_over_h: float, borders: Optional[Borders],
                        d: int, cx: int, n_chunks: int,
                        n_c: int, c_map, n_z: int, z_map,
-                       n_k: int, k_map, chunk_pid: int = 2):
+                       n_k: int, k_map, chunk_pid: int, mode: str):
     """Build the kernel body for one sweep. ``d`` is the block dim of the
     sweep axis; ``cx`` the chunk length; windows have length cx + 2r.
+
+    ``mode``:
+    - 'full'   — the sweep axis is kept whole in the block (used when it is
+      the innermost/lane axis): the window is the block edge-padded
+      in-VMEM; one ref per windowed field.
+    - 'triple' — the sweep axis is chunked: each windowed field arrives as
+      (prev, cur, next) neighbor blocks (clamped index maps) and the
+      window is [tail_r(prev) | cur | head_r(next)]; domain edges are then
+      patched to edge replication (the clamped prev/next of an edge chunk
+      is the chunk itself, so its rows are wrong until patched).
+
     ``n_c/n_z/n_k`` count the deduplicated speed/impedance/kappa fields and
     ``*_map`` give each pair's (zero's) index into them."""
     st = model.stage(axis)
     r = stencil_radius(order)
     npairs = len(st.pairs)
     nzeros = len(st.zeros)
+    nrefs = 1 if mode == "full" else 3
 
     def kernel(*refs):
         # ref order:
-        #  [A_win, B_win] * npairs, c fields (deduped), z fields (deduped),
-        #  kappa fields (deduped), [zero_comp] * nzeros; then outputs:
-        #  [A_out, B_out] * npairs, [zero_out] * nzeros
+        #  [A_win*nrefs, B_win*nrefs] * npairs, c fields (deduped),
+        #  z fields (deduped), kappa fields (deduped), [zero_comp]*nzeros;
+        #  then outputs: [A_out, B_out] * npairs, [zero_out] * nzeros
         it = iter(refs)
-        wins = [(next(it), next(it)) for _ in range(npairs)]
+        wins = [
+            ([next(it) for _ in range(nrefs)], [next(it) for _ in range(nrefs)])
+            for _ in range(npairs)
+        ]
         c_refs = [next(it) for _ in range(n_c)]
         z_refs = [next(it) for _ in range(n_z)]
         kappa_refs = [next(it) for _ in range(n_k)]
@@ -150,9 +165,25 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
         a_outs = [(next(it), next(it)) for _ in range(npairs)]
         z_outs = [next(it) for _ in range(nzeros)]
 
-        ic = pl.program_id(chunk_pid)  # chunk index along sweep axis
-        is_first = ic == 0
-        is_last = ic == n_chunks - 1
+        if mode == "full":
+            is_first = is_last = True
+        else:
+            ic = pl.program_id(chunk_pid)  # chunk index along sweep axis
+            is_first = ic == 0
+            is_last = ic == n_chunks - 1
+
+        def window(field_refs):
+            if mode == "full":
+                b = field_refs[0][...]
+                lo = _row(b, d, 0)
+                hi = _row(b, d, cx - 1)
+                return jnp.concatenate(
+                    [lo] * r + [b] + [hi] * r, axis=d)
+            pv, cr, nx = (x[...] for x in field_refs)
+            tail = _slab(pv, d, cx - r, r)
+            head = _slab(nx, d, 0, r)
+            win = jnp.concatenate([tail, cr, head], axis=d)
+            return _patch_halo(win, d, r, cx, is_first, is_last)
 
         # precompute weights per distinct speed field
         wts_by_c = [stencil_weights(order, c_refs[i][...] * dt_over_h)
@@ -163,9 +194,9 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
         src_news = {}
         src_olds = {}
         for k, p in enumerate(st.pairs):
-            a_ref, b_ref = wins[k]
-            aw = _patch_halo(a_ref[...], d, r, cx, is_first, is_last)
-            bw = _patch_halo(b_ref[...], d, r, cx, is_first, is_last)
+            a_refs, b_refs = wins[k]
+            aw = window(a_refs)
+            bw = window(b_refs)
             z = z_refs[z_map[k]][...]
             wt = wts_by_c[c_map[k]]
 
@@ -210,80 +241,85 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
 
 def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
                      n_c: int, n_z: int, n_k: int):
-    """Grid + block specs. Block layout (b0, b1, b2) == spatial dims; the
-    sweep axis gets the chunk/window, the other two get (8, 128)-ish tiles;
-    the last axis always keeps a multiple-of-128 tile."""
-    st = model.stage(axis)
-    r = stencil_radius(order)
-    TS, TL = 8, 128  # sublane / lane tile for non-sweep dims
+    """Grid + block specs using only documented Blocked semantics.
 
-    # Mosaic requires block dims to be all-Element or all-Blocked: windowed
-    # inputs use Element on every dim (index maps return ELEMENT offsets),
-    # plain inputs/outputs use Blocked (index maps return BLOCK indices).
-    E = pl.Element
+    - Sweep along the innermost (lane) axis → 'full' mode: blocks keep the
+      whole sweep extent ("block dim equal to the array dim" is always
+      legal), windows are built in-VMEM.
+    - Sweep along any other axis → 'triple' mode: windowed fields are bound
+      three times with clamped neighbor index maps (prev/cur/next); halo
+      assembly happens in-kernel. Costs up to 3x HBM reads on the windowed
+      fields; the non-shifted fields and all outputs stay single-read.
+    Returns (grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode).
+    """
+    st = model.stage(axis)
+    TS, TL = 8, 128  # sublane / lane tile for non-sweep dims
+    last = len(shape) - 1
+    mode = "full" if axis == last else "triple"
+
+    def clamp(i, hi):
+        return jnp.clip(i, 0, hi)
 
     if len(shape) == 2:
         n0, n1 = shape
         if axis == 0:
             grid = (pl.cdiv(n1, TL), pl.cdiv(n0, cx))
             blk = (cx, TL)
-            win = (E(cx + 2 * r, padding=(r, r)), E(TL))
-            iw = lambda j, i: (i * cx, j * TL)
             ib = lambda j, i: (i, j)
-            d = 0
+            nb = grid[1]
+            ib_prev = lambda j, i: (clamp(i - 1, nb - 1), j)
+            ib_next = lambda j, i: (clamp(i + 1, nb - 1), j)
+            d, chunk_pid = 0, 1
         else:
-            grid = (pl.cdiv(n0, TS), pl.cdiv(n1, cx))
-            blk = (TS, cx)
-            win = (E(TS), E(cx + 2 * r, padding=(r, r)))
-            iw = lambda j, i: (j * TS, i * cx)
-            ib = lambda j, i: (j, i)
-            d = 1
-        win_spec = pl.BlockSpec(win, iw, memory_space=pltpu.VMEM)
-        blk_spec = pl.BlockSpec(blk, ib, memory_space=pltpu.VMEM)
-        in_specs = []
-        for _ in st.pairs:
-            in_specs += [win_spec, win_spec]
-        in_specs += [blk_spec] * (n_c + n_z + n_k)
-        in_specs += [blk_spec] * len(st.zeros)
-        out_specs = [blk_spec] * (2 * len(st.pairs) + len(st.zeros))
-        return grid, in_specs, out_specs, d, grid[-1]
-
-    n0, n1, n2 = shape
-
-    if axis == 0:
-        grid = (pl.cdiv(n1, TS), pl.cdiv(n2, TL), pl.cdiv(n0, cx))
-        blk = (cx, TS, TL)
-        win = (E(cx + 2 * r, padding=(r, r)), E(TS), E(TL))
-        iw = lambda j, k, i: (i * cx, j * TS, k * TL)  # element offsets
-        ib = lambda j, k, i: (i, j, k)                 # block indices
-        d = 0
-    elif axis == 1:
-        grid = (pl.cdiv(n0, TS), pl.cdiv(n2, TL), pl.cdiv(n1, cx))
-        blk = (TS, cx, TL)
-        win = (E(TS), E(cx + 2 * r, padding=(r, r)), E(TL))
-        iw = lambda j, k, i: (j * TS, i * cx, k * TL)
-        ib = lambda j, k, i: (j, i, k)
-        d = 1
+            grid = (pl.cdiv(n0, TS),)
+            blk = (TS, n1)
+            ib = lambda j: (j, 0)
+            ib_prev = ib_next = ib
+            d, chunk_pid = 1, 0
     else:
-        grid = (pl.cdiv(n0, TS), pl.cdiv(n1, TS), pl.cdiv(n2, cx))
-        blk = (TS, TS, cx)
-        win = (E(TS), E(TS), E(cx + 2 * r, padding=(r, r)))
-        iw = lambda j, k, i: (j * TS, k * TS, i * cx)
-        ib = lambda j, k, i: (j, k, i)
-        d = 2
+        n0, n1, n2 = shape
+        if axis == 0:
+            grid = (pl.cdiv(n1, TS), pl.cdiv(n2, TL), pl.cdiv(n0, cx))
+            blk = (cx, TS, TL)
+            nb = grid[2]
+            ib = lambda j, k, i: (i, j, k)
+            ib_prev = lambda j, k, i: (clamp(i - 1, nb - 1), j, k)
+            ib_next = lambda j, k, i: (clamp(i + 1, nb - 1), j, k)
+            d, chunk_pid = 0, 2
+        elif axis == 1:
+            grid = (pl.cdiv(n0, TS), pl.cdiv(n2, TL), pl.cdiv(n1, cx))
+            blk = (TS, cx, TL)
+            nb = grid[2]
+            ib = lambda j, k, i: (j, i, k)
+            ib_prev = lambda j, k, i: (j, clamp(i - 1, nb - 1), k)
+            ib_next = lambda j, k, i: (j, clamp(i + 1, nb - 1), k)
+            d, chunk_pid = 1, 2
+        else:
+            grid = (pl.cdiv(n0, TS), pl.cdiv(n1, TS))
+            blk = (TS, TS, n2)
+            ib = lambda j, k: (j, k, 0)
+            ib_prev = ib_next = ib
+            d, chunk_pid = 2, 0
 
-    win_spec = pl.BlockSpec(win, iw, memory_space=pltpu.VMEM)
     blk_spec = pl.BlockSpec(blk, ib, memory_space=pltpu.VMEM)
+    if mode == "full":
+        win_specs = [blk_spec]
+    else:
+        win_specs = [
+            pl.BlockSpec(blk, ib_prev, memory_space=pltpu.VMEM),
+            blk_spec,
+            pl.BlockSpec(blk, ib_next, memory_space=pltpu.VMEM),
+        ]
 
     in_specs = []
-    # pair windows
     for _ in st.pairs:
-        in_specs += [win_spec, win_spec]
-    in_specs += [blk_spec] * (n_c + n_z + n_k)      # material fields
-    in_specs += [blk_spec] * len(st.zeros)          # zero comps
+        in_specs += win_specs + win_specs        # A then B
+    in_specs += [blk_spec] * (n_c + n_z + n_k)   # material fields
+    in_specs += [blk_spec] * len(st.zeros)       # zero comps
 
     out_specs = [blk_spec] * (2 * len(st.pairs) + len(st.zeros))
-    return grid, in_specs, out_specs, d, grid[2]
+    n_chunks = grid[chunk_pid] if mode == "triple" else 1
+    return grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode
 
 
 def pallas_stage(
@@ -303,13 +339,16 @@ def pallas_stage(
     st = model.stage(axis)
     shape = u.shape[1:]
     n_sweep = shape[axis]
-    cx = min(cx, n_sweep)
-    if n_sweep % cx:
-        # fall back to a divisor chunk
-        for c in range(cx, 0, -1):
-            if n_sweep % c == 0:
-                cx = c
-                break
+    if axis == len(shape) - 1:
+        cx = n_sweep          # 'full' mode keeps the whole lane axis
+    else:
+        cx = min(cx, n_sweep)
+        if n_sweep % cx:
+            # fall back to a divisor chunk
+            for c in range(cx, 0, -1):
+                if n_sweep % c == 0:
+                    cx = c
+                    break
 
     # deduplicate shared material fields by identity (isotropic media share
     # one c/z per wave family and a single kappa; orthotropic may not)
@@ -331,19 +370,20 @@ def pallas_stage(
     z_uniq, z_map = _dedup(view.pair_z)
     k_uniq, k_map = _dedup(view.zero_kappa)
 
-    grid, in_specs, out_specs, d, n_chunks = _specs_for_sweep(
+    grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode = _specs_for_sweep(
         model, axis, order, shape, cx, len(c_uniq), len(z_uniq), len(k_uniq)
     )
     kernel = _make_sweep_kernel(
         model, axis, order, model.sign, float(dt / h[axis]), borders,
         d, cx, n_chunks,
         len(c_uniq), c_map, len(z_uniq), z_map, len(k_uniq), k_map,
-        chunk_pid=len(grid) - 1,
+        chunk_pid=chunk_pid, mode=mode,
     )
 
+    nrefs = 1 if mode == "full" else 3
     inputs = []
     for p in st.pairs:
-        inputs += [u[p.sigma], u[p.vel]]
+        inputs += [u[p.sigma]] * nrefs + [u[p.vel]] * nrefs
     inputs += c_uniq + z_uniq + k_uniq
     for zc in st.zeros:
         inputs.append(u[zc.comp])

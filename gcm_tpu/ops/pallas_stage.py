@@ -126,7 +126,8 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
                        dt_over_h: float, borders: Optional[Borders],
                        d: int, cx: int, n_chunks: int,
                        n_c: int, c_map, n_z: int, z_map,
-                       n_k: int, k_map, chunk_pid: int, mode: str):
+                       n_k: int, k_map, chunk_pid: int, mode: str,
+                       sr: int = 0):
     """Build the kernel body for one sweep. ``d`` is the block dim of the
     sweep axis; ``cx`` the chunk length; windows have length cx + 2r.
 
@@ -135,10 +136,12 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
       the innermost/lane axis): the window is the block edge-padded
       in-VMEM; one ref per windowed field.
     - 'triple' — the sweep axis is chunked: each windowed field arrives as
-      (prev, cur, next) neighbor blocks (clamped index maps) and the
-      window is [tail_r(prev) | cur | head_r(next)]; domain edges are then
-      patched to edge replication (the clamped prev/next of an edge chunk
-      is the chunk itself, so its rows are wrong until patched).
+      (prev_tail, cur, next_head) where the neighbor bindings are r-row
+      slab blocks (clamped index maps) — only the halo rows are re-read
+      from HBM, so windowed-field traffic is (cx+2r)/cx, not 3x. The
+      window is [prev_tail | cur | next_head]; domain edges are then
+      patched to edge replication (the clamped neighbor slab of an edge
+      chunk reads in-bounds-but-wrong rows until patched).
 
     ``n_c/n_z/n_k`` count the deduplicated speed/impedance/kappa fields and
     ``*_map`` give each pair's (zero's) index into them."""
@@ -179,10 +182,10 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
                 hi = _row(b, d, cx - 1)
                 return jnp.concatenate(
                     [lo] * r + [b] + [hi] * r, axis=d)
-            pv, cr, nx = (x[...] for x in field_refs)
-            tail = _slab(pv, d, cx - r, r)
+            pv, cr_, nx = (x[...] for x in field_refs)  # (sr,..),(cx,..),(sr,..)
+            tail = _slab(pv, d, sr - r, r)
             head = _slab(nx, d, 0, r)
-            win = jnp.concatenate([tail, cr, head], axis=d)
+            win = jnp.concatenate([tail, cr_, head], axis=d)
             return _patch_halo(win, d, r, cx, is_first, is_last)
 
         # precompute weights per distinct speed field
@@ -253,6 +256,7 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
     Returns (grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode).
     """
     st = model.stage(axis)
+    r = stencil_radius(order)
     TS, TL = 8, 128  # sublane / lane tile for non-sweep dims
     last = len(shape) - 1
     mode = "full" if axis == last else "triple"
@@ -260,43 +264,78 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
     def clamp(i, hi):
         return jnp.clip(i, 0, hi)
 
+    # Neighbor halo slabs are separate slim bindings of the same array:
+    # blocks of ``sr`` rows along the sweep dim. sr = r when the sweep dim
+    # is a free leading dim (3D axis 0 — no tiling constraint), else 8
+    # (sublane-dim sweeps: the last two block dims must be (8, 128)-
+    # divisible or whole). Only sr rows per neighbor are re-read from HBM,
+    # so windowed-field traffic is (cx + 2*sr)/cx instead of 3x. Index
+    # maps are in sr-block units: chunk i's low halo slab is block
+    # i*(cx//sr) - 1; the high one is (i+1)*(cx//sr) (clamped; edge chunks
+    # read in-bounds-but-wrong rows that _patch_halo overwrites).
     if len(shape) == 2:
         n0, n1 = shape
         if axis == 0:
+            sr = TS
+            cr = cx // sr if cx % sr == 0 else None
             grid = (pl.cdiv(n1, TL), pl.cdiv(n0, cx))
             blk = (cx, TL)
+            slab = (sr, TL) if cr else blk
+            nbs = pl.cdiv(n0, sr) - 1
             ib = lambda j, i: (i, j)
-            nb = grid[1]
-            ib_prev = lambda j, i: (clamp(i - 1, nb - 1), j)
-            ib_next = lambda j, i: (clamp(i + 1, nb - 1), j)
+            if cr:
+                ib_prev = lambda j, i: (clamp(i * cr - 1, nbs), j)
+                ib_next = lambda j, i: (clamp((i + 1) * cr, nbs), j)
+            else:
+                sr = cx
+                ib_prev = lambda j, i: (clamp(i - 1, grid[1] - 1), j)
+                ib_next = lambda j, i: (clamp(i + 1, grid[1] - 1), j)
             d, chunk_pid = 0, 1
         else:
             grid = (pl.cdiv(n0, TS),)
             blk = (TS, n1)
+            slab, sr = None, 0
             ib = lambda j: (j, 0)
             ib_prev = ib_next = ib
             d, chunk_pid = 1, 0
     else:
         n0, n1, n2 = shape
         if axis == 0:
+            sr = r  # leading dim: any block size is legal
+            cr = cx // sr if cx % sr == 0 else None
             grid = (pl.cdiv(n1, TS), pl.cdiv(n2, TL), pl.cdiv(n0, cx))
             blk = (cx, TS, TL)
-            nb = grid[2]
+            slab = (sr, TS, TL) if cr else blk
+            nbs = pl.cdiv(n0, sr) - 1
             ib = lambda j, k, i: (i, j, k)
-            ib_prev = lambda j, k, i: (clamp(i - 1, nb - 1), j, k)
-            ib_next = lambda j, k, i: (clamp(i + 1, nb - 1), j, k)
+            if cr:
+                ib_prev = lambda j, k, i: (clamp(i * cr - 1, nbs), j, k)
+                ib_next = lambda j, k, i: (clamp((i + 1) * cr, nbs), j, k)
+            else:
+                sr = cx
+                ib_prev = lambda j, k, i: (clamp(i - 1, grid[2] - 1), j, k)
+                ib_next = lambda j, k, i: (clamp(i + 1, grid[2] - 1), j, k)
             d, chunk_pid = 0, 2
         elif axis == 1:
+            sr = TS  # sublane dim: slabs must be 8-row
+            cr = cx // sr if cx % sr == 0 else None
             grid = (pl.cdiv(n0, TS), pl.cdiv(n2, TL), pl.cdiv(n1, cx))
             blk = (TS, cx, TL)
-            nb = grid[2]
+            slab = (TS, sr, TL) if cr else blk
+            nbs = pl.cdiv(n1, sr) - 1
             ib = lambda j, k, i: (j, i, k)
-            ib_prev = lambda j, k, i: (j, clamp(i - 1, nb - 1), k)
-            ib_next = lambda j, k, i: (j, clamp(i + 1, nb - 1), k)
+            if cr:
+                ib_prev = lambda j, k, i: (j, clamp(i * cr - 1, nbs), k)
+                ib_next = lambda j, k, i: (j, clamp((i + 1) * cr, nbs), k)
+            else:
+                sr = cx
+                ib_prev = lambda j, k, i: (j, clamp(i - 1, grid[2] - 1), k)
+                ib_next = lambda j, k, i: (j, clamp(i + 1, grid[2] - 1), k)
             d, chunk_pid = 1, 2
         else:
             grid = (pl.cdiv(n0, TS), pl.cdiv(n1, TS))
             blk = (TS, TS, n2)
+            slab, sr = None, 0
             ib = lambda j, k: (j, k, 0)
             ib_prev = ib_next = ib
             d, chunk_pid = 2, 0
@@ -306,9 +345,9 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
         win_specs = [blk_spec]
     else:
         win_specs = [
-            pl.BlockSpec(blk, ib_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(slab, ib_prev, memory_space=pltpu.VMEM),
             blk_spec,
-            pl.BlockSpec(blk, ib_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec(slab, ib_next, memory_space=pltpu.VMEM),
         ]
 
     in_specs = []
@@ -319,7 +358,7 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
 
     out_specs = [blk_spec] * (2 * len(st.pairs) + len(st.zeros))
     n_chunks = grid[chunk_pid] if mode == "triple" else 1
-    return grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode
+    return grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode, sr
 
 
 def pallas_stage(
@@ -339,9 +378,22 @@ def pallas_stage(
     st = model.stage(axis)
     shape = u.shape[1:]
     n_sweep = shape[axis]
+    npairs, nzeros = len(st.pairs), len(st.zeros)
     if axis == len(shape) - 1:
         cx = n_sweep          # 'full' mode keeps the whole lane axis
     else:
+        # VMEM budget: with the double-buffered pipeline the working set is
+        # roughly 2 * (full blocks * cx + neighbor slabs * 8) * row_bytes.
+        # Shrink cx to stay under ~10 MB.
+        n_full = 2 * npairs + 5 + nzeros + (2 * npairs + nzeros)
+        n_slab = 4 * npairs
+        other = 1
+        for a2, n in enumerate(shape):
+            if a2 != axis:
+                other *= min(n, 128 if a2 == len(shape) - 1 else 8)
+        budget = 10 * 1024 * 1024
+        while cx > 8 and 2 * (n_full * cx + n_slab * 8) * other * 4 > budget:
+            cx //= 2
         cx = min(cx, n_sweep)
         if n_sweep % cx:
             # fall back to a divisor chunk
@@ -370,14 +422,16 @@ def pallas_stage(
     z_uniq, z_map = _dedup(view.pair_z)
     k_uniq, k_map = _dedup(view.zero_kappa)
 
-    grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode = _specs_for_sweep(
-        model, axis, order, shape, cx, len(c_uniq), len(z_uniq), len(k_uniq)
-    )
+    (grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode, sr) = \
+        _specs_for_sweep(
+            model, axis, order, shape, cx,
+            len(c_uniq), len(z_uniq), len(k_uniq),
+        )
     kernel = _make_sweep_kernel(
         model, axis, order, model.sign, float(dt / h[axis]), borders,
         d, cx, n_chunks,
         len(c_uniq), c_map, len(z_uniq), z_map, len(k_uniq), k_map,
-        chunk_pid=chunk_pid, mode=mode,
+        chunk_pid=chunk_pid, mode=mode, sr=sr,
     )
 
     nrefs = 1 if mode == "full" else 3

@@ -243,7 +243,8 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
 
 
 def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
-                     n_c: int, n_z: int, n_k: int):
+                     n_c: int, n_z: int, n_k: int,
+                     ts: int = 8, tl: int = 128):
     """Grid + block specs using only documented Blocked semantics.
 
     - Sweep along the innermost (lane) axis → 'full' mode: blocks keep the
@@ -257,7 +258,7 @@ def _specs_for_sweep(model: Model, axis: int, order: int, shape, cx: int,
     """
     st = model.stage(axis)
     r = stencil_radius(order)
-    TS, TL = 8, 128  # sublane / lane tile for non-sweep dims
+    TS, TL = ts, tl  # sublane / lane tiles for non-sweep dims (8/128 min)
     last = len(shape) - 1
     mode = "full" if axis == last else "triple"
 
@@ -371,16 +372,32 @@ def pallas_stage(
     order: int,
     borders: Optional[Borders] = None,
     cx: int = 64,
+    ts: int = 8,
+    tl: int = 128,
 ) -> jnp.ndarray:
-    """Drop-in replacement for solver.gcm.stage on 2D/3D grids (f32)."""
+    """Drop-in replacement for solver.gcm.stage on 2D/3D grids (f32).
+
+    ``cx``: sweep-axis chunk; ``ts``/``tl``: transverse sublane/lane tiles
+    (multiples of 8/128) — tuning knobs for DMA efficiency.
+    """
     if u.ndim not in (3, 4):
         raise ValueError("pallas_stage supports 2D and 3D grids only")
     st = model.stage(axis)
     shape = u.shape[1:]
     n_sweep = shape[axis]
     npairs, nzeros = len(st.pairs), len(st.zeros)
+    ts = min(ts, *[shape[a2] for a2 in range(len(shape) - 1) if a2 != axis]) \
+        if any(a2 != axis for a2 in range(len(shape) - 1)) else ts
     if axis == len(shape) - 1:
         cx = n_sweep          # 'full' mode keeps the whole lane axis
+        # VMEM guard for the full-extent blocks (ts, ts, n_sweep)
+        n_full = 2 * npairs + 5 + nzeros + (2 * npairs + nzeros)
+        budget = 10 * 1024 * 1024
+        other = shape[0] if len(shape) == 2 else None
+        while ts > 8 and 2 * n_full * (
+            ts * n_sweep if len(shape) == 2 else ts * ts * n_sweep
+        ) * 4 > budget:
+            ts //= 2
     else:
         # VMEM budget: with the double-buffered pipeline the working set is
         # roughly 2 * (full blocks * cx + neighbor slabs * 8) * row_bytes.
@@ -390,7 +407,7 @@ def pallas_stage(
         other = 1
         for a2, n in enumerate(shape):
             if a2 != axis:
-                other *= min(n, 128 if a2 == len(shape) - 1 else 8)
+                other *= min(n, tl if a2 == len(shape) - 1 else ts)
         budget = 10 * 1024 * 1024
         while cx > 8 and 2 * (n_full * cx + n_slab * 8) * other * 4 > budget:
             cx //= 2
@@ -425,7 +442,7 @@ def pallas_stage(
     (grid, in_specs, out_specs, d, n_chunks, chunk_pid, mode, sr) = \
         _specs_for_sweep(
             model, axis, order, shape, cx,
-            len(c_uniq), len(z_uniq), len(k_uniq),
+            len(c_uniq), len(z_uniq), len(k_uniq), ts=ts, tl=tl,
         )
     kernel = _make_sweep_kernel(
         model, axis, order, model.sign, float(dt / h[axis]), borders,
@@ -476,10 +493,13 @@ def pallas_step(
     borders: Optional[Borders] = None,
     axes: Optional[Sequence[int]] = None,
     cx: int = 64,
+    ts: int = 8,
+    tl: int = 128,
 ) -> jnp.ndarray:
     """Full step with every sweep as a fused Pallas kernel."""
     if axes is None:
         axes = range(model.dim)
     for a in axes:
-        u = pallas_stage(model, u, mat, dt, h, a, order, borders, cx=cx)
+        u = pallas_stage(model, u, mat, dt, h, a, order, borders,
+                         cx=cx, ts=ts, tl=tl)
     return u

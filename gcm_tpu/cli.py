@@ -34,6 +34,8 @@ def _build_parser():
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
     r.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace into <outdir>/trace")
+    r.add_argument("--kernel", default=None, choices=["jnp", "pallas"],
+                   help="compute path (default: task's, usually jnp)")
 
     sub.add_parser("list", help="list available scenarios")
 
@@ -88,6 +90,8 @@ def main(argv=None) -> int:
         task = dataclasses.replace(
             task, snapshots=SnapshotSpec(every=args.snapshot_every)
         )
+    if args.kernel is not None:
+        task = dataclasses.replace(task, kernel=args.kernel)
 
     eng = Engine(task)
     if args.resume:

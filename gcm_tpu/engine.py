@@ -99,10 +99,18 @@ class Engine:
         axes = tuple(range(model.dim))
         if task.symmetrize_stages and step_parity == 1:
             axes = axes[::-1]
-        u = solver_step(
-            model, u, self.mat, self.dt, task.grid.h, task.order,
-            task.borders, axes,
-        )
+        if task.kernel == "pallas" and model.dim in (2, 3):
+            from gcm_tpu.ops.pallas_stage import pallas_step
+
+            u = pallas_step(
+                model, u, self.mat, self.dt, task.grid.h, task.order,
+                task.borders, axes, cx=32,
+            )
+        else:
+            u = solver_step(
+                model, u, self.mat, self.dt, task.grid.h, task.order,
+                task.borders, axes,
+            )
         for k, (node, comp) in enumerate(self._src_idx):
             u = u.at[(comp,) + node].add(src_amp[k])
         for corr in task.correctors:

@@ -236,6 +236,7 @@ class Task:
     detectors: Optional[DetectorSpec] = None
     symmetrize_stages: bool = True     # reverse axis order on odd steps
     correctors: Tuple = ()             # ODE correctors (solver.correctors)
+    kernel: str = "jnp"                # compute path: "jnp" | "pallas"
 
     def border(self, axis: int, side: int) -> BorderSpec:
         return self.borders.get((axis, side), BorderSpec("absorbing"))

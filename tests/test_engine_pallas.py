@@ -1,0 +1,67 @@
+"""Engine with the pallas compute path (interpret mode) == jnp path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import gcm_tpu.ops.pallas_stage as ps
+from gcm_tpu.engine import Engine
+from gcm_tpu.scenarios import get_scenario
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = ps.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ps.pl, "pallas_call", wrapped)
+    yield
+
+
+def test_engine_pallas_matches_jnp():
+    task = get_scenario("elastic3d_layered", n=16, nsteps=6)
+    res_jnp = Engine(task).run()
+    res_pal = Engine(dataclasses.replace(task, kernel="pallas")).run()
+    scale = np.abs(res_jnp.u).reshape(9, -1).max(1) + 1e-30
+    err = np.abs(res_pal.u - res_jnp.u).reshape(9, -1).max(1) / scale
+    assert err.max() < 2e-5, err
+    np.testing.assert_allclose(res_pal.traces, res_jnp.traces,
+                               rtol=1e-3, atol=1e-5 * scale.max())
+
+
+def test_orthotropic_pallas_matches_jnp(rng):
+    """Per-pair distinct material fields exercise the dedup machinery."""
+    import jax.numpy as jnp
+
+    from gcm_tpu.materials import OrthotropicMaterialFields
+    from gcm_tpu.models.spec import get_model
+    from gcm_tpu.solver.gcm import step
+    from gcm_tpu.task import BorderSpec
+
+    model = get_model("elastic3d")
+    shape = (16, 16, 128)
+    rho = 2000.0
+    ortho = OrthotropicMaterialFields(
+        *[jnp.broadcast_to(jnp.asarray(x, jnp.float32), shape) for x in (
+            rho,
+            rho * 4000.0**2, 0.3 * rho * 4000.0**2, 0.25 * rho * 4000.0**2,
+            rho * 3000.0**2, 0.2 * rho * 3000.0**2, rho * 3500.0**2,
+            rho * 1500.0**2, rho * 1800.0**2, rho * 2000.0**2,
+        )])
+    u0 = rng.standard_normal((model.ncomp,) + shape).astype(np.float32)
+    u0[3:] *= 1e6
+    u = jnp.asarray(u0)
+    h = (1.0, 1.0, 1.0)
+    dt = 0.5 / 4000.0
+    borders = {(a, s): BorderSpec("absorbing") for a in range(3)
+               for s in (0, 1)}
+    want = np.asarray(step(model, u, ortho, dt, h, 2, borders))
+    got = np.asarray(ps.pallas_step(model, u, ortho, dt, h, 2, borders,
+                                    cx=8))
+    scale = np.abs(want).reshape(model.ncomp, -1).max(1) + 1e-30
+    err = np.abs(got - want).reshape(model.ncomp, -1).max(1) / scale
+    assert err.max() < 2e-6, err

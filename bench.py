@@ -56,8 +56,15 @@ def run_worker(path: str, shape) -> None:
     fwd, u0, mat = g._flagship(shape)
     if path == "pallas":
         fwd = g._flagship_pallas(shape)
+    elif path == "fused":
+        ffwd, prepare = g._flagship_fused(shape)
+        mstack = prepare(mat)
+        fwd = lambda u, _mat: ffwd(u, mstack)
     # Production timing: the engine runs steps under lax.scan, so the
     # benchmark does too — this also amortizes per-dispatch tunnel overhead.
+    # ``unroll=4`` amortizes the per-loop-iteration latency of the axon
+    # platform (~1 ms/iter measured) the same way the engine's scan_unroll
+    # knob does in production runs.
     # NOTE: no donate_argnums — buffer donation has been observed to wedge
     # device->host fetches on the experimental axon platform.
     K = 20
@@ -65,7 +72,7 @@ def run_worker(path: str, shape) -> None:
     @jax.jit
     def scan_steps(u):
         return jax.lax.scan(lambda u, _: (fwd(u, mat), None), u, None,
-                            length=K)[0]
+                            length=K, unroll=4)[0]
 
     u = scan_steps(u0)          # compile + warm
     _sync(u)
@@ -109,17 +116,20 @@ def main():
 
     t_jnp, err_jnp = _run_path_with_retry("jnp", shape)
     t_pal, err_pal = _run_path_with_retry("pallas", shape)
+    t_fus, err_fus = _run_path_with_retry("fused", shape)
 
     results = {}
     if t_jnp:
         results["jnp"] = npoints / t_jnp
     if t_pal:
         results["pallas"] = npoints / t_pal
+    if t_fus:
+        results["fused"] = npoints / t_fus
     if not results:
         print(json.dumps({
             "metric": "grid-points/s/chip (3D elastic GCM step)",
             "value": 0.0, "unit": "points/s", "vs_baseline": 0.0,
-            "error": f"jnp: {err_jnp}; pallas: {err_pal}",
+            "error": f"jnp: {err_jnp}; pallas: {err_pal}; fused: {err_fus}",
         }))
         return
 
@@ -129,6 +139,10 @@ def main():
     extras = {}
     if err_pal:
         extras["pallas_error"] = err_pal
+    if err_fus:
+        extras["fused_error"] = err_fus
+    if "pallas" in results:
+        extras["pallas_points_per_s"] = round(results["pallas"], 1)
     print(json.dumps({
         "metric": "grid-points/s/chip (3D elastic GCM step)",
         "value": round(best, 1),

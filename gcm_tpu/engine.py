@@ -68,6 +68,13 @@ class Engine:
             self.u = jax.device_put(self.u, sharding)
             self.mat = jax.tree.map(partial(jax.device_put, device=sharding), self.mat)
 
+        # material stack for the fused full-step kernel: built once at setup
+        self._mstack = None
+        if task.kernel == "pallas_fused" and self.model.dim == 3:
+            from gcm_tpu.ops.pallas_fused import stack_mats
+
+            self._mstack = stack_mats(self.model, self.mat)
+
         # source injection tables: static node indices + per-step amplitudes
         self._src_idx: List[Tuple[Tuple[int, ...], int]] = []
         amps = []
@@ -99,7 +106,14 @@ class Engine:
         axes = tuple(range(model.dim))
         if task.symmetrize_stages and step_parity == 1:
             axes = axes[::-1]
-        if task.kernel == "pallas" and model.dim in (2, 3):
+        if task.kernel == "pallas_fused" and model.dim == 3:
+            from gcm_tpu.ops.pallas_fused import fused_step
+
+            u = fused_step(
+                model, u, self._mstack, self.dt, task.grid.h, task.order,
+                task.borders, axes,
+            )
+        elif task.kernel in ("pallas", "pallas_fused") and model.dim in (2, 3):
             from gcm_tpu.ops.pallas_stage import pallas_step
 
             u = pallas_step(
@@ -137,9 +151,11 @@ class Engine:
                 trs.append(self._detect(u))
             return (u, aux), jnp.stack(trs)  # [period, npoints, ncomp]
 
+        unroll = max(1, int(getattr(self.task, "scan_unroll", 1)))
+
         @partial(jax.jit, donate_argnums=0)
         def scan_steps(carry, amps_chunk):
-            return jax.lax.scan(body, carry, amps_chunk)
+            return jax.lax.scan(body, carry, amps_chunk, unroll=unroll)
 
         return scan_steps, period
 

@@ -236,7 +236,8 @@ class Task:
     detectors: Optional[DetectorSpec] = None
     symmetrize_stages: bool = True     # reverse axis order on odd steps
     correctors: Tuple = ()             # ODE correctors (solver.correctors)
-    kernel: str = "jnp"                # compute path: "jnp" | "pallas"
+    kernel: str = "jnp"                # "jnp" | "pallas" | "pallas_fused"
+    scan_unroll: int = 1               # steps-loop unroll inside the jitted scan
 
     def border(self, axis: int, side: int) -> BorderSpec:
         return self.borders.get((axis, side), BorderSpec("absorbing"))

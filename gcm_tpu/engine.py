@@ -52,8 +52,7 @@ class Engine:
             raise ValueError("model dim != grid dim")
         self.dtype = dtype
 
-        rho, lam, mu = task.material_arrays()
-        self.mat = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=dtype)
+        self.mat = task.material_fields(xp=jnp, dtype=dtype)
         self.dt = cfl_dt(self.mat, task.grid.h, task.time.cfl)
         self.nsteps = task.time.steps_for(self.dt)
 
@@ -69,8 +68,11 @@ class Engine:
             self.mat = jax.tree.map(partial(jax.device_put, device=sharding), self.mat)
 
         # material stack for the fused full-step kernel: built once at setup
+        # (isotropic-only path; orthotropic runs use the per-stage pallas or
+        # jnp sweeps, which consume the generic AxisView)
         self._mstack = None
-        if task.kernel == "pallas_fused" and self.model.dim == 3:
+        if (task.kernel == "pallas_fused" and self.model.dim == 3
+                and isinstance(self.mat, MaterialFields)):
             from gcm_tpu.ops.pallas_fused import stack_mats
 
             self._mstack = stack_mats(self.model, self.mat)
@@ -106,7 +108,7 @@ class Engine:
         axes = tuple(range(model.dim))
         if task.symmetrize_stages and step_parity == 1:
             axes = axes[::-1]
-        if task.kernel == "pallas_fused" and model.dim == 3:
+        if self._mstack is not None:
             from gcm_tpu.ops.pallas_fused import fused_step
 
             u = fused_step(

@@ -64,8 +64,7 @@ class MultiBodyEngine:
         self.borders = {}
         dts = []
         for name, task in bodies.items():
-            rho, lam, mu = task.material_arrays()
-            mat = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=dtype)
+            mat = task.material_fields(xp=jnp, dtype=dtype)
             self.mats[name] = mat
             self.hs[name] = task.grid.h
             self.borders[name] = dict(task.borders)

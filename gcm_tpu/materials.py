@@ -67,6 +67,19 @@ class OrthotropicMaterial:
     c55: float  # xz shear
     c66: float  # xy shear
 
+    @staticmethod
+    def from_isotropic(m: "IsotropicMaterial") -> "OrthotropicMaterial":
+        """Isotropic limit: c_ii = lam+2mu, off-diagonals = lam, shears = mu."""
+        d, o, s = m.lam + 2.0 * m.mu, m.lam, m.mu
+        return OrthotropicMaterial(rho=m.rho, c11=d, c12=o, c13=o,
+                                   c22=d, c23=o, c33=d, c44=s, c55=s, c66=s)
+
+    def constants(self) -> dict:
+        """The 9 stiffnesses as a {name: value} dict (from_constants input)."""
+        return {k: getattr(self, k)
+                for k in ("c11", "c12", "c13", "c22", "c23", "c33",
+                          "c44", "c55", "c66")}
+
 
 @dataclasses.dataclass
 class MaterialFields:

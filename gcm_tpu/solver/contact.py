@@ -32,12 +32,10 @@ jit (no data-dependent control flow).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from gcm_tpu.materials import MaterialFields
-from gcm_tpu.models.spec import Model
 from gcm_tpu.solver.boundary import face_index
 
 CONTACT_KINDS = ("bonded", "slip")
@@ -78,27 +76,33 @@ def _adhesion(a, b, z_a, z_b):
 
 def contact_face_update(
     spec: ContactSpec,
-    pair_wave: str,
+    is_normal: bool,
     w_l_a: jnp.ndarray,
     w_r_a: jnp.ndarray,
     w_l_b: jnp.ndarray,
     w_r_b: jnp.ndarray,
-    mat_a: MaterialFields,
-    mat_b: MaterialFields,
+    z_a_field: jnp.ndarray,
+    z_b_field: jnp.ndarray,
     bonded: Optional[jnp.ndarray],
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Apply the contact solve on the interface slabs of one pair's invariants.
 
+    ``is_normal`` marks the pair whose traction acts along the contact axis
+    (the P pair for isotropic media); ``z_*_field`` are each body's per-node
+    impedance fields of this pair for this sweep, taken from its ``AxisView``
+    — so the same solve serves isotropic and orthotropic bodies (the view is
+    the single anisotropy point, gcm_tpu.materials).
+
     Returns updated (w_l_a, w_r_b is unchanged...) — concretely: body_a's
     incoming is w_L at its high face; body_b's incoming is w_R at its low
     face. Also returns the interface normal traction sigma* (only for the
-    P pair; used by the fracture criterion), else None.
+    normal pair; used by the fracture criterion), else None.
     """
     ax = spec.axis
     idx_a = face_index(ax, 1)   # body_a high face
     idx_b = face_index(ax, 0)   # body_b low face
-    z_a = mat_a.z(pair_wave)[idx_a]
-    z_b = mat_b.z(pair_wave)[idx_b]
+    z_a = z_a_field[idx_a]
+    z_b = z_b_field[idx_b]
     out_a = w_r_a[idx_a]        # outgoing at high face
     out_b = w_l_b[idx_b]        # outgoing at low face
 
@@ -108,8 +112,8 @@ def contact_face_update(
     in_b_free = -out_b
 
     # intact behavior per kind: 'bonded' glues all pairs; 'slip' glues only
-    # the normal (P) pair and leaves tangential tractions free
-    if spec.kind == "slip" and pair_wave == "s":
+    # the normal pair and leaves tangential tractions free
+    if spec.kind == "slip" and not is_normal:
         intact_a, intact_b = in_a_free, in_b_free
     else:
         intact_a, intact_b = in_a_glued, in_b_glued
@@ -118,8 +122,8 @@ def contact_face_update(
         in_a, in_b = intact_a, intact_b
     else:
         # broken behavior: 'free' cracks are traction-free; 'slip' cracks
-        # still transmit compression on the P pair (unilateral contact)
-        if spec.broken_kind == "slip" and pair_wave == "p":
+        # still transmit compression on the normal pair (unilateral contact)
+        if spec.broken_kind == "slip" and is_normal:
             closed = s_star < 0.0
             broken_a = jnp.where(closed, in_a_glued, in_a_free)
             broken_b = jnp.where(closed, in_b_glued, in_b_free)
@@ -131,7 +135,7 @@ def contact_face_update(
 
     w_l_a = w_l_a.at[idx_a].set(in_a)
     w_r_b = w_r_b.at[idx_b].set(in_b)
-    return w_l_a, w_r_b, (s_star if pair_wave == "p" else None)
+    return w_l_a, w_r_b, (s_star if is_normal else None)
 
 
 def update_bonded(

@@ -8,7 +8,8 @@ instead of a border condition. Bodies live in one dict pytree, so a single
 jit covers the whole system and XLA schedules bodies concurrently.
 
 Bodies must share the model and interpolation order; each body has its own
-grid shape, materials, and border conditions. Contact interfaces must be
+grid shape, materials (isotropic or orthotropic — anything exposing
+``axis_view``), and border conditions. Contact interfaces must be
 grid-conforming (collocated nodes, equal transverse shape/spacing).
 """
 
@@ -71,9 +72,11 @@ def stage_multi(
             w_l_a, w_r_a, p = pair_ws[c.body_a][k]
             w_l_b, w_r_b, pb = pair_ws[c.body_b][k]
             assert p.wave == pb.wave
+            # per-pair impedance fields from the axis views — the solve is
+            # anisotropy-agnostic (isotropic and orthotropic bodies alike)
             w_l_a, w_r_b, s_star = contact_face_update(
-                c, p.wave, w_l_a, w_r_a, w_l_b, w_r_b,
-                mats[c.body_a], mats[c.body_b], bmask,
+                c, p.traction_axis == c.axis, w_l_a, w_r_a, w_l_b, w_r_b,
+                views[c.body_a].pair_z[k], views[c.body_b].pair_z[k], bmask,
             )
             pair_ws[c.body_a][k] = (w_l_a, w_r_a, p)
             pair_ws[c.body_b][k] = (w_l_b, w_r_b, pb)

@@ -15,7 +15,9 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from gcm_tpu.materials import IsotropicMaterial
+from gcm_tpu.materials import IsotropicMaterial, OrthotropicMaterial
+
+AnyMaterial = Union[IsotropicMaterial, OrthotropicMaterial]
 
 Axis = int          # 0, 1, 2
 Side = int          # 0 = low face, 1 = high face
@@ -154,7 +156,7 @@ class BorderSpec:
 @dataclasses.dataclass(frozen=True)
 class MaterialRegion:
     area: Area
-    material: IsotropicMaterial
+    material: AnyMaterial
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,7 +227,7 @@ class Task:
     name: str
     model: str                         # gcm_tpu.models.get_model key
     grid: GridSpec
-    default_material: IsotropicMaterial
+    default_material: AnyMaterial
     materials: Tuple[MaterialRegion, ...] = ()
     initial: Tuple[InitialCondition, ...] = ()
     borders: Dict[Face, BorderSpec] = dataclasses.field(default_factory=dict)
@@ -242,6 +244,11 @@ class Task:
     def border(self, axis: int, side: int) -> BorderSpec:
         return self.borders.get((axis, side), BorderSpec("absorbing"))
 
+    @property
+    def is_orthotropic(self) -> bool:
+        mats = (self.default_material,) + tuple(r.material for r in self.materials)
+        return any(isinstance(m, OrthotropicMaterial) for m in mats)
+
     def material_arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Rasterize material regions into (rho, lam, mu) node arrays."""
         shape = self.grid.shape
@@ -255,3 +262,37 @@ class Task:
             lam[msk] = region.material.lam
             mu[msk] = region.material.mu
         return rho, lam, mu
+
+    def material_fields(self, xp=np, dtype=None):
+        """Rasterize regions into per-node derived characteristic fields.
+
+        Returns ``MaterialFields`` when every material is isotropic, else
+        ``OrthotropicMaterialFields`` (isotropic regions embed via their
+        orthotropic limit) — both expose the ``axis_view``/``max_cp``
+        protocol the sweeps consume.
+        """
+        from gcm_tpu.materials import MaterialFields, OrthotropicMaterialFields
+
+        if not self.is_orthotropic:
+            rho, lam, mu = self.material_arrays()
+            return MaterialFields.from_arrays(rho, lam, mu, xp=xp, dtype=dtype)
+
+        shape = self.grid.shape
+
+        def as_ortho(m: AnyMaterial) -> OrthotropicMaterial:
+            if isinstance(m, OrthotropicMaterial):
+                return m
+            return OrthotropicMaterial.from_isotropic(m)
+
+        m0 = as_ortho(self.default_material)
+        rho = np.full(shape, m0.rho, dtype=np.float64)
+        cons = {k: np.full(shape, v, dtype=np.float64)
+                for k, v in m0.constants().items()}
+        for region in self.materials:
+            msk = region.area.mask(self.grid)
+            mo = as_ortho(region.material)
+            rho[msk] = mo.rho
+            for k, v in mo.constants().items():
+                cons[k][msk] = v
+        return OrthotropicMaterialFields.from_constants(rho, cons, xp=xp,
+                                                        dtype=dtype)

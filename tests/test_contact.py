@@ -160,3 +160,91 @@ def test_slip_contact_blocks_shear_transmits_normal():
 
     assert run("p") > 0.9       # P transmits through slip contact
     assert run("s") < 1e-9      # shear does not cross a frictionless interface
+
+
+def _ortho_fields(shape, rho=1200.0, scale=1.0):
+    """Uniform genuinely-orthotropic fields (distinct stiffnesses per axis)."""
+    from gcm_tpu.materials import OrthotropicMaterialFields
+
+    ones = jnp.ones(shape, dtype=jnp.float64)
+    c = dict(c11=9.0e9, c12=2.0e9, c13=1.5e9, c22=6.5e9, c23=1.2e9,
+             c33=5.0e9, c44=1.8e9, c55=2.2e9, c66=2.6e9)
+    return OrthotropicMaterialFields.from_constants(
+        rho * ones, {k: v * scale * ones for k, v in c.items()}, xp=jnp,
+        dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_bonded_contact_orthotropic_equals_monolithic(axis, rng):
+    """Contact is anisotropy-agnostic: the two-impedance interface solve over
+    AxisView impedances reproduces the monolithic orthotropic solution."""
+    model = get_model("elastic2d")
+    shape = (17, 14)
+    h = (1.0, 1.0)
+    mat_m = _ortho_fields(shape)
+    dt = 0.5 * min(h) / mat_m.max_cp()
+    u0 = rng.standard_normal((model.ncomp,) + shape)
+    for a in range(1, u0.ndim):
+        u0 = 0.25 * np.roll(u0, 1, a) + 0.5 * u0 + 0.25 * np.roll(u0, -1, a)
+
+    borders = {(a, s): BorderSpec("absorbing") for a in range(2) for s in (0, 1)}
+    mono = jnp.asarray(u0)
+    k = shape[axis] // 2
+    ua, ub = _split_state(jnp.asarray(u0), k, axis)
+    mats = {"a": _ortho_fields(ua.shape[1:]), "b": _ortho_fields(ub.shape[1:])}
+    body_borders = {
+        "a": {f: b for f, b in borders.items() if f != (axis, 1)},
+        "b": {f: b for f, b in borders.items() if f != (axis, 0)},
+    }
+    contact = ContactSpec("a", "b", axis=axis, kind="bonded")
+    us = {"a": ua, "b": ub}
+    hs = {"a": h, "b": h}
+
+    for n in range(4):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        mono = step(model, mono, mat_m, dt, h, 1, borders, axes)
+        us, _ = step_multi(model, us, mats, dt, hs, 1, body_borders,
+                           (contact,), {}, axes)
+
+    mono = np.asarray(mono)
+    ma, mb = _split_state(mono, k, axis)
+    np.testing.assert_allclose(np.asarray(us["a"]), ma, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(us["b"]), mb, rtol=1e-12, atol=1e-12)
+
+
+def test_bonded_contact_orthotropic_dissimilar_conserves_interface():
+    """Dissimilar orthotropic bodies: transmitted+reflected energy behaves
+    physically (transmission happens, interface tractions stay continuous)."""
+    from gcm_tpu.solver.boundary import face_index
+
+    model = get_model("elastic2d")
+    n, m = 40, 6
+    mat_a = _ortho_fields((n, m))
+    mat_b = _ortho_fields((n, m), rho=2600.0, scale=3.0)
+    x = np.arange(n, dtype=float)
+    prof = np.exp(-((x - 30.0) ** 2) / (2 * 3.0**2))
+    zpa = float(np.asarray(mat_a.axis_view(0, model.stage(0)).pair_z[0])[0, 0])
+    u0 = np.zeros((model.ncomp, n, m))
+    u0[model.comp("sxx")] = prof[:, None]
+    u0[model.comp("vx")] = -prof[:, None] / zpa
+    us = {"a": jnp.asarray(u0), "b": jnp.zeros_like(jnp.asarray(u0))}
+    mats = {"a": mat_a, "b": mat_b}
+    hs = {"a": (1.0, 1.0), "b": (1.0, 1.0)}
+    borders = {
+        "a": {(0, 0): BorderSpec("absorbing")},
+        "b": {(0, 1): BorderSpec("absorbing")},
+    }
+    contact = ContactSpec("a", "b", axis=0, kind="bonded")
+    dt = 0.9 / mat_b.max_cp()
+    for k in range(60):
+        us, _ = step_multi(model, us, mats, dt, hs, 1, borders,
+                           (contact,), {}, axes=(0,))
+    # wave crossed into body b
+    assert float(jnp.abs(us["b"][model.comp("sxx")]).max()) > 0.5
+    # interface continuity of traction and normal velocity (adhesion)
+    sa = us["a"][model.comp("sxx")][face_index(0, 1)]
+    sb = us["b"][model.comp("sxx")][face_index(0, 0)]
+    va = us["a"][model.comp("vx")][face_index(0, 1)]
+    vb = us["b"][model.comp("vx")][face_index(0, 0)]
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-12)

@@ -100,3 +100,84 @@ def test_ortho_axis_dependent_p_speed(axis):
     peak = float(np.argmax(line))
     expect = 50.0 + cexp * nsteps * dt
     assert abs(peak - expect) <= 2.0, (peak, expect)
+
+
+def test_engine_orthotropic_task():
+    """Task-level orthotropy: OrthotropicMaterial regions flow through the
+    Engine (material_fields -> axis_view sweeps) and produce anisotropic
+    propagation — P speed differs between x and y sweeps."""
+    import jax.numpy as jnp
+
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.materials import OrthotropicMaterial
+    from gcm_tpu.task import (
+        AreaBall, BorderSpec, GridSpec, InitialCondition, Task, TimeSpec,
+    )
+
+    rho = 1500.0
+    ortho = OrthotropicMaterial(rho=rho, c11=12.0e9, c12=2.0e9, c13=2.0e9,
+                                c22=4.0e9, c23=1.5e9, c33=5.0e9,
+                                c44=1.2e9, c55=1.4e9, c66=1.6e9)
+    n = 61
+    task = Task(
+        name="ortho2d", model="elastic2d",
+        grid=GridSpec(shape=(n, n), h=(1.0, 1.0)),
+        default_material=ortho,
+        initial=(InitialCondition(
+            AreaBall(center=(30.0, 30.0), radius=2.5),
+            {"sxx": 1.0, "syy": 1.0}),),
+        borders={(a, s): BorderSpec("absorbing") for a in (0, 1) for s in (0, 1)},
+        time=TimeSpec(cfl=0.8, nsteps=16),
+        order=2,
+    )
+    eng = Engine(task, dtype=jnp.float64)
+    res = eng.run()
+    vmag = np.sqrt(res.u[0] ** 2 + res.u[1] ** 2)
+    # wavefront reach along each axis from the center (rows/cols where motion
+    # has arrived): faster along x (c11 > c22 => cpx > cpy)
+    thresh = 0.02 * vmag.max()
+    reach_x = np.abs(np.nonzero(vmag[:, 30] > thresh)[0] - 30).max()
+    reach_y = np.abs(np.nonzero(vmag[30, :] > thresh)[0] - 30).max()
+    cpx = np.sqrt(ortho.c11 / rho)
+    cpy = np.sqrt(ortho.c22 / rho)
+    assert reach_x > reach_y, (reach_x, reach_y)
+    np.testing.assert_allclose(reach_x / reach_y, cpx / cpy, rtol=0.35)
+
+
+def test_task_material_fields_isotropic_matches_arrays():
+    """material_fields on an all-isotropic Task == MaterialFields path."""
+    import jax.numpy as jnp
+
+    from gcm_tpu.task import AreaLayer, GridSpec, MaterialRegion, Task, TimeSpec
+
+    iso1 = IsotropicMaterial.from_speeds(rho=1000.0, cp=2000.0, cs=1000.0)
+    iso2 = IsotropicMaterial.from_speeds(rho=2000.0, cp=3000.0, cs=1500.0)
+    task = Task(
+        name="t", model="elastic2d", grid=GridSpec((8, 8), (1.0, 1.0)),
+        default_material=iso1,
+        materials=(MaterialRegion(AreaLayer(0, 4.0, 8.0), iso2),),
+        time=TimeSpec(nsteps=1),
+    )
+    mf = task.material_fields(xp=jnp, dtype=jnp.float64)
+    assert isinstance(mf, MaterialFields)
+    rho, lam, mu = task.material_arrays()
+    ref = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(mf.cp), np.asarray(ref.cp))
+
+    # mixed iso+ortho: isotropic region embeds via its orthotropic limit
+    from gcm_tpu.materials import OrthotropicMaterial, OrthotropicMaterialFields
+
+    task2 = Task(
+        name="t2", model="elastic2d", grid=GridSpec((8, 8), (1.0, 1.0)),
+        default_material=OrthotropicMaterial.from_isotropic(iso1),
+        materials=(MaterialRegion(AreaLayer(0, 4.0, 8.0), iso2),),
+        time=TimeSpec(nsteps=1),
+    )
+    mf2 = task2.material_fields(xp=jnp, dtype=jnp.float64)
+    assert isinstance(mf2, OrthotropicMaterialFields)
+    view = mf2.axis_view(0, __import__("gcm_tpu.models.spec",
+                                       fromlist=["get_model"]).get_model(
+                                           "elastic2d").stage(0))
+    # rtol: material_arrays rasterizes float32, the orthotropic path float64
+    np.testing.assert_allclose(np.asarray(view.pair_c[0]), np.asarray(ref.cp),
+                               rtol=1e-6)

@@ -16,8 +16,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gcm_tpu.grids.simplex import SimplexGrid, build_foot_tables
-from gcm_tpu.materials import IsotropicMaterial, MaterialFields
+from gcm_tpu.grids.simplex import (
+    SimplexGrid, build_foot_tables, build_foot_tables_for_model,
+)
+from gcm_tpu.materials import (
+    IsotropicMaterial, MaterialFields, OrthotropicMaterial,
+    OrthotropicMaterialFields,
+)
 from gcm_tpu.models.spec import get_model
 from gcm_tpu.solver.simplex_gcm import simplex_step
 
@@ -45,10 +50,17 @@ class SimplexEngine:
         self.grid = grid
         self.model = get_model(model_name)
         ones = np.ones(grid.npoints)
-        self.mat = MaterialFields.from_arrays(
-            material.rho * ones, material.lam * ones, material.mu * ones,
-            xp=jnp, dtype=dtype,
-        )
+        if isinstance(material, OrthotropicMaterial):
+            self.mat = OrthotropicMaterialFields.from_constants(
+                material.rho * ones,
+                {k: v * ones for k, v in material.constants().items()},
+                xp=jnp, dtype=dtype,
+            )
+        else:
+            self.mat = MaterialFields.from_arrays(
+                material.rho * ones, material.lam * ones, material.mu * ones,
+                xp=jnp, dtype=dtype,
+            )
         # characteristic length: mean nearest-neighbor distance
         from scipy.spatial import cKDTree
 
@@ -56,10 +68,15 @@ class SimplexEngine:
         h_min = float(d[:, 1].min())
         self.dt = cfl * h_min / self.mat.max_cp()
         self.border_kind = border_kind
-        waves = {"p": np.asarray(self.mat.cp)}
-        if float(np.asarray(self.mat.cs).max()) > 0:
-            waves["s"] = np.asarray(self.mat.cs)
-        self.tables = build_foot_tables(grid, waves, self.dt)
+        if isinstance(self.mat, MaterialFields):
+            waves = {"p": np.asarray(self.mat.cp)}
+            if float(np.asarray(self.mat.cs).max()) > 0:
+                waves["s"] = np.asarray(self.mat.cs)
+            self.tables = build_foot_tables(grid, waves, self.dt)
+        else:
+            # anisotropic: per-pair feet (different speeds per sweep/pair)
+            self.tables = build_foot_tables_for_model(
+                grid, self.model, self.mat, self.dt)
         self.u = jnp.asarray(
             u0 if u0 is not None
             else np.zeros((self.model.ncomp, grid.npoints)),

@@ -94,6 +94,60 @@ class FootTables:
     outside: np.ndarray
 
 
+def _locate_feet(grid: SimplexGrid, tri, starts, c: np.ndarray,
+                 axis: int, direction: int, dt: float) -> FootTables:
+    """Locate + barycentric-weight the feet ``x + direction*c*dt*e_axis``."""
+    from gcm_tpu import native
+
+    N, dim = grid.npoints, grid.dim
+    self_ids = np.arange(N, dtype=np.int32)
+    feet = grid.points.copy()
+    feet[:, axis] += direction * c * dt
+    # native C++ visibility walk (scipy fallback inside)
+    cells, weights = native.walk_locate(tri, feet, starts)
+    outside = cells < 0
+    cc = np.where(outside, 0, cells)
+    verts = tri.simplices[cc]                        # [N, dim+1]
+    # Sliver cells (degenerate Delaunay simplices) can yield
+    # weights slightly outside [0,1] or non-finite transforms;
+    # clamp + renormalize so every interpolation is a convex
+    # combination — the scheme is then L-inf stable per sweep.
+    weights = np.where(np.isfinite(weights), weights, 0.0)
+    weights = np.clip(weights, 0.0, 1.0)
+    wsum = weights.sum(axis=1, keepdims=True)
+    degenerate = wsum[:, 0] <= 1e-12
+    if degenerate.any():
+        # fall back to the cell vertex nearest to the foot
+        dcell = np.linalg.norm(
+            grid.points[verts] - feet[:, None, :], axis=2)
+        nearest = np.argmin(dcell, axis=1)
+        onehot = np.eye(dim + 1)[nearest]
+        weights = np.where(degenerate[:, None], onehot, weights)
+        wsum = weights.sum(axis=1, keepdims=True)
+    weights = weights / wsum
+    ids = np.where(outside[:, None], self_ids[:, None], verts)
+    weights = np.where(outside[:, None], 0.0, weights)
+    return FootTables(
+        ids=ids.astype(np.int32),
+        # float64: the pair transform multiplies weights by the
+        # impedance (~1e6-1e7), amplifying rounding — cast to the
+        # compute dtype only at use (solver.simplex_gcm)
+        weights=weights,
+        outside=outside,
+    )
+
+
+def _walk_context(grid: SimplexGrid):
+    tri = grid.delaunay
+    if tri is None:
+        from scipy.spatial import Delaunay
+
+        tri = Delaunay(grid.points)
+    # each node's own incident cell: O(1) walk starts (CGAL-style)
+    starts = tri.vertex_to_simplex.astype(np.int32)
+    return tri, starts
+
+
 def build_foot_tables(
     grid: SimplexGrid,
     speeds: Dict[str, np.ndarray],     # wave -> per-node speed [N]
@@ -107,20 +161,9 @@ def build_foot_tables(
     ``x + c dt e_a`` (direction +1); speed +c at direction −1 — identical to
     gcm_tpu.ops.interp.
     """
-    tri = grid.delaunay
-    if tri is None:
-        from scipy.spatial import Delaunay
-
-        tri = Delaunay(grid.points)
+    tri, starts = _walk_context(grid)
     out: Dict[Tuple[int, str, int], FootTables] = {}
-    N, dim = grid.npoints, grid.dim
-    self_ids = np.arange(N, dtype=np.int32)
-    # each node's own incident cell: O(1) walk starts (CGAL-style)
-    starts = tri.vertex_to_simplex.astype(np.int32)
-
-    from gcm_tpu import native
-
-    for a in range(dim):
+    for a in range(grid.dim):
         for w in waves:
             if w not in speeds:
                 continue
@@ -128,38 +171,30 @@ def build_foot_tables(
             if not np.any(c > 0):
                 continue
             for direction in (+1, -1):
-                feet = grid.points.copy()
-                feet[:, a] += direction * c * dt
-                # native C++ visibility walk (scipy fallback inside)
-                cells, weights = native.walk_locate(tri, feet, starts)
-                outside = cells < 0
-                cc = np.where(outside, 0, cells)
-                verts = tri.simplices[cc]                        # [N, dim+1]
-                # Sliver cells (degenerate Delaunay simplices) can yield
-                # weights slightly outside [0,1] or non-finite transforms;
-                # clamp + renormalize so every interpolation is a convex
-                # combination — the scheme is then L-inf stable per sweep.
-                weights = np.where(np.isfinite(weights), weights, 0.0)
-                weights = np.clip(weights, 0.0, 1.0)
-                wsum = weights.sum(axis=1, keepdims=True)
-                degenerate = wsum[:, 0] <= 1e-12
-                if degenerate.any():
-                    # fall back to the cell vertex nearest to the foot
-                    dcell = np.linalg.norm(
-                        grid.points[verts] - feet[:, None, :], axis=2)
-                    nearest = np.argmin(dcell, axis=1)
-                    onehot = np.eye(dim + 1)[nearest]
-                    weights = np.where(degenerate[:, None], onehot, weights)
-                    wsum = weights.sum(axis=1, keepdims=True)
-                weights = weights / wsum
-                ids = np.where(outside[:, None], self_ids[:, None], verts)
-                weights = np.where(outside[:, None], 0.0, weights)
-                out[(a, w, direction)] = FootTables(
-                    ids=ids.astype(np.int32),
-                    # float64: the pair transform multiplies weights by the
-                    # impedance (~1e6-1e7), amplifying rounding — cast to the
-                    # compute dtype only at use (solver.simplex_gcm)
-                    weights=weights,
-                    outside=outside,
-                )
+                out[(a, w, direction)] = _locate_feet(
+                    grid, tri, starts, c, a, direction, dt)
+    return out
+
+
+def build_foot_tables_for_model(
+    grid: SimplexGrid, model, mat, dt: float
+) -> Dict[Tuple[int, int, int], FootTables]:
+    """Per-pair foot tables keyed ``(axis, pair_index, direction)``.
+
+    Speeds come from the material's ``axis_view`` — isotropic media reduce
+    to the per-wave tables of :func:`build_foot_tables`, anisotropic
+    (orthotropic) media get genuinely per-pair feet (e.g. the two shear
+    pairs of a 3D sweep ride different speeds, c55 vs c66).
+    """
+    tri, starts = _walk_context(grid)
+    out: Dict[Tuple[int, int, int], FootTables] = {}
+    for a in range(grid.dim):
+        view = mat.axis_view(a, model.stage(a))
+        for k, c in enumerate(view.pair_c):
+            c = np.asarray(c, np.float64)
+            if not np.any(c > 0):
+                continue
+            for direction in (+1, -1):
+                out[(a, k, direction)] = _locate_feet(
+                    grid, tri, starts, c, a, direction, dt)
     return out

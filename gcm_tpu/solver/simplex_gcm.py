@@ -34,21 +34,30 @@ def simplex_stage(
     model: Model,
     u: jnp.ndarray,
     mat: MaterialFields,
-    tables: Dict[Tuple[int, str, int], FootTables],
+    tables: Dict[Tuple, FootTables],
     axis: int,
     border_kind: str = "absorbing",
 ) -> jnp.ndarray:
-    """One characteristic sweep along coordinate axis ``axis``."""
+    """One characteristic sweep along coordinate axis ``axis``.
+
+    ``tables`` may be keyed ``(axis, wave, dir)`` (isotropic: one table per
+    wave family) or ``(axis, pair_index, dir)`` (anisotropic: per-pair feet,
+    built by grids.simplex.build_foot_tables_for_model). Impedances come
+    from the material's ``axis_view`` — the same anisotropy point as the
+    structured sweeps — so isotropic and orthotropic media share this code.
+    """
     st = model.stage(axis)
     sign = model.sign
+    view = mat.axis_view(axis, st)
     comps: Dict[int, jnp.ndarray] = {}
 
-    for p in st.pairs:
-        if (axis, p.wave, +1) not in tables:
+    for k, p in enumerate(st.pairs):
+        key_p = (axis, k, +1) if (axis, k, +1) in tables else (axis, p.wave, +1)
+        if key_p not in tables:
             continue  # wave family absent (e.g. S in a fluid)
-        tp = tables[(axis, p.wave, +1)]
-        tm = tables[(axis, p.wave, -1)]
-        z = mat.z(p.wave)
+        tp = tables[key_p]
+        tm = tables[key_p[:2] + (-1,)]
+        z = view.pair_z[k]
         A, B = u[p.sigma], u[p.vel]
         szb = sign * z
 
@@ -75,9 +84,10 @@ def simplex_stage(
         comps[p.sigma] = A_new
         comps[p.vel] = B_new
 
-    for zc in st.zeros:
+    for j, zc in enumerate(st.zeros):
         if zc.src in comps:
-            comps[zc.comp] = u[zc.comp] + mat.kappa * (comps[zc.src] - u[zc.src])
+            comps[zc.comp] = u[zc.comp] + view.zero_kappa[j] * (
+                comps[zc.src] - u[zc.src])
 
     return jnp.stack([comps.get(i, u[i]) for i in range(model.ncomp)])
 

@@ -147,3 +147,66 @@ def test_elastic3d_simplex_stable_and_decaying():
     # absorbing hull + dissipative interior => bounded by ~initial envelope
     assert np.abs(out[3:]).max() < 4.0 * m0
     assert np.abs(out[:3]).max() < 4.0 * m0 / z * 10
+
+
+def test_simplex_orthotropic_isotropic_limit():
+    """Orthotropic fields with isotropic constants through the per-pair
+    tables reproduce the isotropic simplex run exactly."""
+    from gcm_tpu.grids.simplex import build_foot_tables_for_model
+    from gcm_tpu.materials import OrthotropicMaterial, OrthotropicMaterialFields
+
+    g = SimplexGrid.box((0, 0), (12, 12), (13, 13), jitter=0.2)
+    iso = IsotropicMaterial.from_speeds(1200.0, 2000.0, 1000.0)
+    mat = _mat_fields(g.npoints, iso)
+    model = get_model("elastic2d")
+    dt = 0.3 * 1.0 / iso.cp
+    tabs = build_foot_tables(
+        g, {"p": np.asarray(mat.cp), "s": np.asarray(mat.cs)}, dt)
+
+    om = OrthotropicMaterial.from_isotropic(iso)
+    ones = np.ones(g.npoints)
+    omat = OrthotropicMaterialFields.from_constants(
+        om.rho * ones, {k: v * ones for k, v in om.constants().items()},
+        xp=jnp, dtype=jnp.float64)
+    otabs = build_foot_tables_for_model(g, model, omat, dt)
+    assert set(otabs) == {(a, k, d) for a in (0, 1) for k in (0, 1)
+                          for d in (+1, -1)}
+
+    rng = np.random.default_rng(3)
+    u0 = rng.standard_normal((model.ncomp, g.npoints))
+    u_iso = jnp.asarray(u0)
+    u_ort = jnp.asarray(u0)
+    for _ in range(3):
+        u_iso = simplex_step(model, u_iso, mat, tabs)
+        u_ort = simplex_step(model, u_ort, omat, otabs)
+    np.testing.assert_allclose(np.asarray(u_ort), np.asarray(u_iso),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_simplex_engine_orthotropic_anisotropy():
+    """SimplexEngine with an orthotropic material: the P front moves faster
+    along the stiffer axis."""
+    from gcm_tpu.engine_simplex import SimplexEngine
+    from gcm_tpu.materials import OrthotropicMaterial
+
+    om = OrthotropicMaterial(rho=1500.0, c11=12.0e9, c12=2.0e9, c13=2.0e9,
+                             c22=4.0e9, c23=1.5e9, c33=5.0e9,
+                             c44=1.2e9, c55=1.4e9, c66=1.6e9)
+    n = 41
+    g = SimplexGrid.box((0, 0), (n - 1.0, n - 1.0), (n, n), jitter=0.1)
+    u0 = np.zeros((5, g.npoints))
+    r2 = ((g.points - (n - 1) / 2.0) ** 2).sum(1)
+    blob = np.exp(-r2 / (2 * 1.5**2))
+    u0[2] = blob  # sxx
+    u0[4] = blob  # syy
+    eng = SimplexEngine(g, "elastic2d", om, cfl=0.6, u0=u0,
+                        dtype=jnp.float64)
+    res = eng.run(nsteps=14)
+    v = np.sqrt(res.u[0] ** 2 + res.u[1] ** 2)
+    assert np.isfinite(res.u).all()
+    c = (n - 1) / 2.0
+    th = 0.05 * v.max()
+    lit = g.points[v > th]
+    reach_x = np.abs(lit[:, 0] - c).max()
+    reach_y = np.abs(lit[:, 1] - c).max()
+    assert reach_x > 1.25 * reach_y, (reach_x, reach_y)

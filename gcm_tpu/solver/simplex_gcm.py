@@ -8,8 +8,10 @@ static tables (gcm_tpu.grids.simplex.build_foot_tables) — ``jnp.take`` over
 node arrays, fully static indices, TPU-compatible.
 
 State layout: ``u[ncomp, N]``; material fields ``[N]``. Border conditions:
-``absorbing`` and ``free``, applied where the characteristic foot leaves
-the hull (the unstructured analogue of incoming-invariant overwrites).
+the full characteristic set (absorbing, free, fixed_force, fixed_velocity —
+pass a kind string or a task.BorderSpec), applied where the characteristic
+foot leaves the hull (the unstructured analogue of incoming-invariant
+overwrites on boundary slabs).
 """
 
 from __future__ import annotations
@@ -28,6 +30,17 @@ _Z_EPS = 1e-30
 def _gather_interp(f: jnp.ndarray, ids: jnp.ndarray, wts: jnp.ndarray):
     """Barycentric interpolation: sum_j wts[:, j] * f[ids[:, j]]."""
     return (jnp.take(f, ids, axis=0) * wts).sum(axis=1)
+
+
+def _border_kind_value(border_kind, pair, axis):
+    """Normalize the border argument: a kind string or a BorderSpec.
+
+    A BorderSpec applies its per-traction-axis value exactly as on
+    structured faces (task.BorderSpec.pair_value).
+    """
+    if isinstance(border_kind, str):
+        return border_kind, 0.0
+    return border_kind.kind, border_kind.pair_value(pair.traction_axis, axis)
 
 
 def simplex_stage(
@@ -66,17 +79,27 @@ def simplex_stage(
         w_l = _gather_interp(A, ids_p, w_p) + szb * _gather_interp(B, ids_p, w_p)
         w_r = _gather_interp(A, ids_m, w_m) - szb * _gather_interp(B, ids_m, w_m)
 
-        # border: feet outside the hull are incoming invariants
+        # border: feet outside the hull are incoming invariants, overwritten
+        # from the physical constraint using the node's outgoing invariant
+        # (same characteristic algebra as solver.boundary, SURVEY.md §0.4)
         out_p = jnp.asarray(tp.outside)   # w_l incoming where its foot left
         out_m = jnp.asarray(tm.outside)   # w_r incoming where its foot left
-        if border_kind == "absorbing":
+        kind, val = _border_kind_value(border_kind, p, axis)
+        w_l0, w_r0 = w_l, w_r
+        if kind == "absorbing":
             w_l = jnp.where(out_p, 0.0, w_l)
             w_r = jnp.where(out_m, 0.0, w_r)
-        elif border_kind == "free":
-            w_l = jnp.where(out_p, -w_r, w_l)
-            w_r = jnp.where(out_m, -w_l, w_r)
+        elif kind == "free":
+            w_l = jnp.where(out_p, -w_r0, w_l)
+            w_r = jnp.where(out_m, -w_l0, w_r)
+        elif kind == "fixed_force":
+            w_l = jnp.where(out_p, 2.0 * val - w_r0, w_l)
+            w_r = jnp.where(out_m, 2.0 * val - w_l0, w_r)
+        elif kind == "fixed_velocity":
+            w_l = jnp.where(out_p, w_r0 + 2.0 * sign * z * val, w_l)
+            w_r = jnp.where(out_m, w_l0 - 2.0 * sign * z * val, w_r)
         else:  # pragma: no cover
-            raise ValueError(border_kind)
+            raise ValueError(kind)
 
         A_new = 0.5 * (w_l + w_r)
         B_prop = sign * (w_l - w_r) / (2.0 * jnp.maximum(z, _Z_EPS))

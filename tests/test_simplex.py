@@ -210,3 +210,62 @@ def test_simplex_engine_orthotropic_anisotropy():
     reach_x = np.abs(lit[:, 0] - c).max()
     reach_y = np.abs(lit[:, 1] - c).max()
     assert reach_x > 1.25 * reach_y, (reach_x, reach_y)
+
+
+def test_simplex_border_fixed_force_zero_equals_free():
+    """BorderSpec('fixed_force', 0) on the hull == 'free' exactly."""
+    from gcm_tpu.task import BorderSpec
+
+    g = SimplexGrid.box((0, 0), (12, 12), (13, 13), jitter=0.2)
+    iso = IsotropicMaterial.from_speeds(1000.0, 1500.0)
+    mat = _mat_fields(g.npoints, iso)
+    model = get_model("acoustic2d")
+    dt = 0.4 / 1500.0
+    tabs = build_foot_tables(g, {"p": np.asarray(mat.cp)}, dt, waves=("p",))
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(rng.standard_normal((model.ncomp, g.npoints)))
+    ua, ub = u0, u0
+    for _ in range(4):
+        ua = simplex_step(model, ua, mat, tabs, "free")
+        ub = simplex_step(model, ub, mat, tabs,
+                          BorderSpec("fixed_force", 0.0))
+    np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+
+
+def test_simplex_border_rigid_wall_reflection_sign():
+    """fixed_velocity(0) (rigid wall): pressure reflects without sign flip;
+    free border flips the sign — the classic acoustic wall/free dichotomy."""
+    from gcm_tpu.task import BorderSpec
+
+    L, W = 60.0, 4.0
+    nx, ny = 121, 9
+    g = SimplexGrid.box((0, 0), (L, W), (nx, ny))
+    iso = IsotropicMaterial.from_speeds(1000.0, 1500.0)
+    mat = _mat_fields(g.npoints, iso)
+    model = get_model("acoustic2d")
+    c, z = 1500.0, 1000.0 * 1500.0
+    hx = L / (nx - 1)
+    dt = 0.9 * hx / c
+    tabs = build_foot_tables(g, {"p": np.asarray(mat.cp)}, dt, waves=("p",))
+
+    # right-going pulse near the right border: p = f, vx = p/z (acoustic
+    # convention: right-going wave has v = p/(rho c) with s = -1 pairs)
+    prof = np.exp(-((g.points[:, 0] - 48.0) ** 2) / (2 * 2.0**2))
+    u0 = np.zeros((model.ncomp, g.npoints))
+    u0[model.comp("p")] = prof
+    u0[model.comp("vx")] = prof / z
+
+    def run(bc):
+        u = jnp.asarray(u0)
+        nst = int(round(24.0 / (c * dt)))
+        for _ in range(nst):
+            u = simplex_step(model, u, mat, tabs, bc, axes=(0,))
+        return np.asarray(u[model.comp("p")])
+
+    p_wall = run(BorderSpec("fixed_velocity", 0.0))
+    p_free = run("free")
+    # after reflection the pulse sits in the domain again
+    assert p_wall.max() > 0.6          # rigid wall: positive pulse returns
+    assert p_free.min() < -0.6         # free surface: sign-flipped return
+    assert p_wall.min() > -0.25
+    assert p_free.max() < 0.25

@@ -93,20 +93,19 @@ def main(argv=None) -> int:
     if args.kernel is not None:
         task = dataclasses.replace(task, kernel=args.kernel)
 
+    import os
+
     eng = Engine(task)
     if args.resume:
-        import os
-
         from gcm_tpu.utils.checkpoint import latest_step, restore_checkpoint
 
         ckdir = os.path.join(args.outdir, "checkpoints")
         step = latest_step(ckdir)
         if step is not None:
-            state = restore_checkpoint(ckdir, {"u": eng.u, "step": 0})
-            eng.u = state["u"]
-            print(f"resumed from step {step}", file=sys.stderr)
-
-    import os
+            # restore the FULL state (fields + corrector aux + step counter);
+            # run() then executes only the remaining nsteps - step steps
+            eng.load_state(restore_checkpoint(ckdir, eng.state_dict()))
+            print(f"resumed from step {eng.start_step}", file=sys.stderr)
 
     from gcm_tpu.utils.profiling import trace
 

@@ -78,16 +78,16 @@ class Engine:
             self._mstack = stack_mats(self.model, self.mat)
 
         # source injection tables: static node indices + per-step amplitudes
+        # (all steps evaluated in one vectorized call — setup stays O(1)-ish
+        # even for nsteps ~ 1e6)
         self._src_idx: List[Tuple[Tuple[int, ...], int]] = []
         amps = []
+        times = (np.arange(self.nsteps, dtype=np.float64) + 1.0) * self.dt
         for src in task.sources:
             node = task.grid.index_of(src.position)
             for cname in src.components:
                 self._src_idx.append((node, self.model.comp(cname)))
-                amps.append([
-                    src.wavelet((n + 1) * self.dt) * self.dt
-                    for n in range(self.nsteps)
-                ])
+                amps.append(src.wavelet(times) * self.dt)
         self._src_amps = (
             jnp.asarray(np.asarray(amps, dtype=np.float64).T, dtype=dtype)
             if amps else jnp.zeros((self.nsteps, 0), dtype=dtype)
@@ -99,7 +99,29 @@ class Engine:
             pts = [task.grid.index_of(p) for p in task.detectors.points]
             self._det_idx = np.asarray(pts, dtype=np.int32)  # [np, dim]
 
+        # corrector aux state (e.g. damage fields) — part of the checkpoint
+        self.aux: Dict = {}
+        for corr in task.correctors:
+            self.aux.update(corr.init_aux(self.model, task.grid.shape))
+        #: first step index run() will execute (set by load_state on resume)
+        self.start_step: int = 0
+        self._done_step: int = 0
+
         self._scan_fn = None
+
+    # ----------------------------------------------------------- checkpoint
+
+    def state_dict(self) -> Dict:
+        """Full restartable state: fields, corrector aux, completed steps."""
+        return {"u": self.u, "aux": self.aux, "step": self._done_step}
+
+    def load_state(self, state: Dict) -> None:
+        """Restore a ``state_dict`` checkpoint; ``run()`` then executes only
+        the remaining ``nsteps - step`` steps (resume == uninterrupted,
+        tests/test_io.py)."""
+        self.u = jnp.asarray(state["u"], dtype=self.dtype)
+        self.aux = jax.tree.map(jnp.asarray, state["aux"])
+        self.start_step = self._done_step = int(np.asarray(state["step"]))
 
     # ------------------------------------------------------------------ step
 
@@ -165,40 +187,52 @@ class Engine:
 
     def run(self, snapshot_cb: Optional[Callable[[int, np.ndarray], None]] = None
             ) -> RunResult:
-        """Run all steps; optionally call ``snapshot_cb(step, u)`` at the
-        task's snapshot cadence (host-side, outside jit)."""
+        """Run the remaining steps (``start_step`` .. ``nsteps``); optionally
+        call ``snapshot_cb(step, u)`` at the task's snapshot cadence
+        (host-side, outside jit)."""
         scan_steps, period = self._build_scan()
         nsteps = self.nsteps
-        nfull = (nsteps // period) * period
+        start = int(self.start_step)
         every = self.task.snapshots.every
-        chunk = every if (snapshot_cb and every) else max(nfull, period)
-        chunk = max(period, (chunk // period) * period)
-
         nsrc = self._src_amps.shape[1]
-        amps = self._src_amps[:nfull].reshape(nfull // period, period, nsrc)
-        aux = {}
-        for corr in self.task.correctors:
-            aux.update(corr.init_aux(self.model, self.task.grid.shape))
+
         u = self.u
+        aux = self.aux
         traces = []
         t0 = _time.perf_counter()
-        done = 0
-        while done < nfull:
-            take = min(chunk, nfull - done) // period
-            (u, aux), tr = scan_steps(
-                (u, aux), amps[done // period: done // period + take])
+        done = start
+
+        def single(n):
+            nonlocal u, aux
+            u, aux = self._one_step(u, aux, self._src_amps[n], n % period)
+            traces.append(self._detect(u)[None])
+
+        # align a resumed run to a symmetrization-period boundary, so the
+        # jitted scan always starts at even parity (resume == uninterrupted)
+        while done < nsteps and done % period != 0:
+            single(done)
+            done += 1
+        nfull_end = done + ((nsteps - done) // period) * period
+        chunk = every if (snapshot_cb and every) else max(nfull_end - done, period)
+        chunk = max(period, (chunk // period) * period)
+        while done < nfull_end:
+            take = min(chunk, nfull_end - done) // period
+            amps_chunk = self._src_amps[done:done + take * period].reshape(
+                take, period, nsrc)
+            (u, aux), tr = scan_steps((u, aux), amps_chunk)
             traces.append(tr)
             done += take * period
-            self.u = u  # keep current for checkpointing callbacks
+            # keep current for checkpointing callbacks
+            self.u, self.aux, self._done_step = u, aux, done
             if snapshot_cb is not None:
                 snapshot_cb(done, np.asarray(jax.device_get(u)))
         # tail steps that don't fill a full symmetrization period
-        for n in range(nfull, nsteps):
-            u, aux = self._one_step(u, aux, self._src_amps[n], n % period)
-            traces.append(self._detect(u)[None])
+        while done < nsteps:
+            single(done)
             done += 1
         u.block_until_ready()
         self.aux = aux
+        self._done_step = done
         wall = _time.perf_counter() - t0
 
         npts = int(np.prod(self.task.grid.shape))
@@ -217,7 +251,7 @@ class Engine:
             dt=self.dt,
             traces=trace_arr,
             wall_seconds=wall,
-            points_per_second=npts * nsteps / max(wall, 1e-12),
+            points_per_second=npts * (nsteps - start) / max(wall, 1e-12),
         )
 
     # ------------------------------------------------------------- outputs
@@ -253,7 +287,7 @@ class Engine:
 
                     save_checkpoint(
                         os.path.join(outdir, "checkpoints"), step,
-                        {"u": self.u, "step": step},
+                        self.state_dict(),
                     )
 
         res = self.run(snapshot_cb=cb)

@@ -93,18 +93,37 @@ class MultiBodyEngine:
                 pts = [task.grid.index_of(p) for p in task.detectors.points]
                 self._det_idx[name] = np.asarray(pts, dtype=np.int32)
 
-        # sources (per body)
+        # sources (per body) — amplitudes for all steps in one vectorized call
         self._srcs = []
+        times = (np.arange(self.nsteps, dtype=np.float64) + 1.0) * self.dt
         for name, task in bodies.items():
             for src in task.sources:
                 node = task.grid.index_of(src.position)
                 for cname in src.components:
-                    amps = np.array([
-                        src.wavelet((n + 1) * self.dt) * self.dt
-                        for n in range(self.nsteps)
-                    ])
+                    amps = src.wavelet(times) * self.dt
                     self._srcs.append((name, node, self.model.comp(cname),
                                        jnp.asarray(amps, dtype=dtype)))
+
+    # ----------------------------------------------------------- checkpoint
+
+    def state_dict(self) -> Dict:
+        """Restartable state: per-body fields, fracture bond masks, steps
+        completed. Bond masks matter — resuming without them would silently
+        heal every crack (VERDICT r1)."""
+        return {"us": self.us,
+                "bonded": {str(k): v for k, v in self.bonded.items()},
+                "step": getattr(self, "_done_step", 0)}
+
+    def load_state(self, state: Dict) -> None:
+        self.us = {k: jnp.asarray(v) for k, v in state["us"].items()}
+        self.bonded = {int(k): jnp.asarray(v)
+                       for k, v in state["bonded"].items()}
+        self.start_step = int(np.asarray(state["step"]))
+        period = 2 if self.symmetrize else 1
+        if self.start_step % period:
+            raise ValueError(
+                "multi-body resume requires a period-aligned checkpoint "
+                f"(step {self.start_step}, period {period})")
 
     def _one_step(self, us, bonded, n_amp, parity: int):
         axes = tuple(range(self.model.dim))
@@ -122,10 +141,12 @@ class MultiBodyEngine:
     def run(self) -> MultiRunResult:
         period = 2 if self.symmetrize else 1
         nsteps = (max(self.nsteps, period) // period) * period
+        start = int(getattr(self, "start_step", 0))
+        nrun = nsteps - start
         amps = (
-            jnp.stack([a[:nsteps] for _, _, _, a in self._srcs], 1)
-            if self._srcs else jnp.zeros((nsteps, 0), dtype=jnp.float32)
-        ).reshape(nsteps // period, period, -1)
+            jnp.stack([a[start:nsteps] for _, _, _, a in self._srcs], 1)
+            if self._srcs else jnp.zeros((nrun, 0), dtype=jnp.float32)
+        ).reshape(nrun // period, period, -1)
 
         def detect(us):
             out = {}
@@ -155,6 +176,7 @@ class MultiBodyEngine:
         wall = _time.perf_counter() - t0
         npts = sum(int(np.prod(t.grid.shape)) for t in self.tasks.values())
         self.us, self.bonded = us, bonded
+        self._done_step = nsteps
         trace_out = None
         if self._det_idx:
             trace_out = {
@@ -169,7 +191,7 @@ class MultiBodyEngine:
             nsteps=nsteps,
             dt=self.dt,
             wall_seconds=wall,
-            points_per_second=npts * nsteps / max(wall, 1e-12),
+            points_per_second=npts * nrun / max(wall, 1e-12),
             traces=trace_out,
         )
 

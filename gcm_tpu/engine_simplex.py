@@ -41,9 +41,9 @@ class SimplexEngine:
         self,
         grid: SimplexGrid,
         model_name: str,
-        material: IsotropicMaterial,
+        material: "IsotropicMaterial | OrthotropicMaterial",
         cfl: float = 0.8,
-        border_kind: str = "absorbing",
+        border_kind: "str | object" = "absorbing",   # kind or task.BorderSpec
         u0: Optional[np.ndarray] = None,
         dtype=jnp.float32,
     ):

@@ -50,10 +50,11 @@ class IsotropicMaterial:
 class OrthotropicMaterial:
     """Orthotropic elastic material (rho + 9 stiffness constants c_ij).
 
-    Parity placeholder for the reference's OrthotropicMaterial (SURVEY.md §2
-    component 2). The per-axis characteristic decomposition for orthotropy is
-    also closed-form (wave speeds sqrt(c_ii/rho) along each principal axis);
-    full solver support lands with the orthotropic model.
+    TPU counterpart of the reference's OrthotropicMaterial (SURVEY.md §2
+    component 2). The per-axis characteristic decomposition is closed-form
+    (P speed sqrt(c_aa/rho) along axis a, shear speeds sqrt(c_44..66/rho));
+    it is fully supported in the structured sweeps (jnp and Pallas), in
+    contact solves and on simplex meshes via ``OrthotropicMaterialFields``.
     """
 
     rho: float
@@ -168,8 +169,9 @@ class OrthotropicMaterialFields:
 
     Stores rho and the 9 stiffness arrays; ``axis_view`` produces the
     closed-form per-axis decomposition quantities consumed by the same
-    generic sweep machinery as the isotropic path. Only structured-grid
-    sweeps support orthotropy (contact/simplex assume isotropic media).
+    generic sweep machinery as the isotropic path. Orthotropy is supported
+    in structured sweeps (jnp and Pallas), contact solves and simplex-mesh
+    sweeps (tests/test_orthotropic.py, test_contact.py, test_simplex.py).
     """
 
     rho: Any
@@ -201,10 +203,19 @@ class OrthotropicMaterialFields:
         return {(0, 1): self.c12, (0, 2): self.c13, (1, 2): self.c23}[(a, b)]
 
     def max_cp(self) -> float:
+        """Largest characteristic speed of any pair on any sweep axis.
+
+        The CFL step uses this; shear stiffnesses are included because a
+        positive-definite orthotropic tensor may have c44/c55/c66 exceeding
+        a diagonal stiffness, which would otherwise make dt unstable.
+        """
         import numpy as _np
 
-        return float(max(_np.sqrt(_np.max(_np.asarray(cii) / _np.asarray(self.rho)))
-                         for cii in (self.c11, self.c22, self.c33)))
+        return float(max(
+            _np.sqrt(_np.max(_np.asarray(c) / _np.asarray(self.rho)))
+            for c in (self.c11, self.c22, self.c33,
+                      self.c44, self.c55, self.c66)
+        ))
 
     def axis_view(self, axis: int, stage_spec) -> AxisView:
         import jax.numpy as jnp

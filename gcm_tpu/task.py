@@ -182,11 +182,14 @@ class RickerSource:
     t0: float
     amplitude: float = 1.0
 
-    def wavelet(self, t) -> float:
+    def wavelet(self, t):
+        """Ricker amplitude at time(s) ``t`` — scalar in, scalar out;
+        array in, array out (engines evaluate all steps in one call)."""
         import numpy as _np
 
-        a = (_np.pi * self.f0 * (t - self.t0)) ** 2
-        return float(self.amplitude * (1.0 - 2.0 * a) * _np.exp(-a))
+        a = (_np.pi * self.f0 * (_np.asarray(t, _np.float64) - self.t0)) ** 2
+        out = self.amplitude * (1.0 - 2.0 * a) * _np.exp(-a)
+        return float(out) if out.ndim == 0 else out
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,6 +72,120 @@ def test_seismogram_outputs(tmp_path):
     np.testing.assert_array_equal(flat, tr.ravel())
 
 
+def _damage_task(nsteps):
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.correctors import DamageCorrector
+    from gcm_tpu.task import (
+        AreaBox, BorderSpec, GridSpec, InitialCondition, RickerSource, Task,
+        TimeSpec,
+    )
+
+    mat = IsotropicMaterial.from_speeds(rho=1000.0, cp=2000.0, cs=1100.0)
+    return Task(
+        name="resume_test",
+        model="elastic2d",
+        grid=GridSpec((24, 20), (1.0, 1.0)),
+        default_material=mat,
+        initial=(InitialCondition(AreaBox((8.0, 6.0), (14.0, 12.0)),
+                                  {"sxx": 0.4, "syy": 0.4}),),
+        borders={(a, s): BorderSpec("absorbing")
+                 for a in range(2) for s in (0, 1)},
+        sources=(RickerSource((12.0, 10.0), ("sxx", "syy"),
+                              f0=200.0, t0=0.004, amplitude=50.0),),
+        time=TimeSpec(cfl=0.8, nsteps=nsteps),
+        correctors=(DamageCorrector(threshold=0.05, rate=5e4),),
+    )
+
+
+@pytest.mark.parametrize("cut", [6, 7])  # period-aligned and mid-period
+def test_engine_resume_equals_uninterrupted(tmp_path, cut):
+    """Kill-and-resume must reproduce the uninterrupted run, including the
+    irreversible damage aux state (a resume that drops aux silently heals
+    the material — VERDICT r1 item 3)."""
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    nsteps = 12
+    full = Engine(_damage_task(nsteps))
+    full.run()
+    assert float(np.asarray(full.aux["damage"]).max()) > 0.01, \
+        "test must exercise nontrivial damage"
+
+    part = Engine(_damage_task(nsteps))
+    part.nsteps = cut                     # simulate interruption at `cut`
+    part.run()
+    ckdir = str(tmp_path / "ck")
+    save_checkpoint(ckdir, cut, part.state_dict())
+
+    resumed = Engine(_damage_task(nsteps))
+    resumed.load_state(restore_checkpoint(ckdir, resumed.state_dict()))
+    assert resumed.start_step == cut
+    res = resumed.run()
+    assert resumed._done_step == nsteps
+    np.testing.assert_allclose(res.u, np.asarray(full.u),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(resumed.aux["damage"]),
+                               np.asarray(full.aux["damage"]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_multibody_resume_preserves_fracture(tmp_path):
+    """Resuming a fracture run must restore the bond masks: a dropped mask
+    would re-glue broken interfaces."""
+    from gcm_tpu.engine_multi import MultiBodyEngine
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.contact import ContactSpec
+    from gcm_tpu.task import (
+        AreaBox, BorderSpec, GridSpec, InitialCondition, Task, TimeSpec,
+    )
+    from gcm_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    mat = IsotropicMaterial.from_speeds(rho=1000.0, cp=2000.0)
+    z = mat.rho * mat.cp
+    nsteps = 40
+
+    def bodies():
+        # right-going tensile pulse in body a; interface with b fractures
+        a = Task(
+            name="a", model="elastic1d",
+            grid=GridSpec((60,), (1.0,)),
+            default_material=mat,
+            initial=(InitialCondition(AreaBox((30.0,), (40.0,)),
+                                      {"sxx": 0.2, "v": -0.2 / z}),),
+            borders={(0, 0): BorderSpec("absorbing")},
+            time=TimeSpec(cfl=0.9, nsteps=nsteps), order=1,
+        )
+        b = Task(
+            name="b", model="elastic1d",
+            grid=GridSpec((60,), (1.0,)),
+            default_material=mat,
+            borders={(0, 1): BorderSpec("absorbing")},
+            time=TimeSpec(cfl=0.9, nsteps=nsteps), order=1,
+        )
+        contact = ContactSpec("a", "b", axis=0, kind="bonded",
+                              tensile_strength=0.05, broken_kind="free")
+        return {"a": a, "b": b}, (contact,)
+
+    full = MultiBodyEngine(*bodies())
+    rfull = full.run()
+    assert float(rfull.bonded[0]) == 0.0, "interface must actually break"
+
+    part = MultiBodyEngine(*bodies())
+    part.nsteps = 20
+    part.run()
+    ckdir = str(tmp_path / "ckm")
+    save_checkpoint(ckdir, 20, part.state_dict())
+
+    resumed = MultiBodyEngine(*bodies())
+    resumed.load_state(restore_checkpoint(ckdir, resumed.state_dict()))
+    assert resumed.start_step == 20
+    rres = resumed.run()
+    assert float(rres.bonded[0]) == 0.0
+    for name in ("a", "b"):
+        np.testing.assert_allclose(rres.bodies[name], rfull.bodies[name],
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 

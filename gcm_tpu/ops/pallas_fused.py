@@ -390,6 +390,7 @@ def fused_step(
     bx: int = 16,
     by: int = 32,
     interpret: bool = False,
+    vmem_budget: int = 11 * 1024 * 1024,
 ) -> jnp.ndarray:
     """One full 3D time step as a single fused Pallas kernel.
 
@@ -408,7 +409,7 @@ def fused_step(
 
     # tile-size selection under a VMEM budget: double-buffered input
     # windows + pipelined output blocks + compute temporaries.
-    budget = 11 * 1024 * 1024
+    budget = vmem_budget
     esz = u.dtype.itemsize
 
     def vmem_need(bx_, by_):

@@ -1,0 +1,164 @@
+"""Halo/compute overlap evidence for the fused shard_map step.
+
+BASELINE.json's north star asks for "halo exchange over ICI overlapped with
+interior stencil compute".  With a single real chip we cannot time a
+multi-chip overlap, so this tool commits the *dependence-graph* argument
+(the collective-matmul-style schedule argument, VERDICT round-1 item 1):
+
+XLA's latency-hiding scheduler runs an async collective concurrently with
+any compute it has no data dependency on — on TPU, collective-permute
+lowers to (collective-permute-start, collective-permute-done) and the
+scheduler hoists independent work between them.  Overlap is therefore
+guaranteed by construction iff, in one fused SPMD step
+(gcm_tpu.parallel.fused_spmd.make_fused_spmd_step):
+
+  - the INTERIOR pallas kernel (the O(area) work) is transitively
+    independent of every ppermute — its operands are {state, materials};
+  - only the RING kernel (O(perimeter) work) consumes the slabs.
+
+This script traces the step on an 8-device mesh, walks the jaxpr dataflow
+transitively from every ppermute, asserts the interior pallas_call is not
+reached, and writes OVERLAP_EVIDENCE.md.
+
+Run: python tools/overlap_evidence.py   (pins itself to 8 CPU devices)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _all_eqns(jx):
+    for eq in jx.eqns:
+        yield eq
+        for sub in eq.params.values():
+            if hasattr(sub, "jaxpr"):
+                yield from _all_eqns(sub.jaxpr)
+            elif hasattr(sub, "eqns"):
+                yield from _all_eqns(sub)
+            elif isinstance(sub, (list, tuple)):
+                for s in sub:
+                    if hasattr(s, "jaxpr"):
+                        yield from _all_eqns(s.jaxpr)
+                    elif hasattr(s, "eqns"):
+                        yield from _all_eqns(s)
+
+
+def main() -> int:
+    from gcm_tpu.materials import MaterialFields
+    from gcm_tpu.models.spec import get_model
+    from gcm_tpu.parallel.fused_spmd import (
+        extended_mstack, make_fused_spmd_step)
+    from gcm_tpu.parallel.sharding import domain_mesh, field_sharding
+    from gcm_tpu.task import BorderSpec
+
+    shape = (64, 64, 16)
+    model = get_model("elastic3d")
+    rng = np.random.default_rng(0)
+    rho = 1000.0 * (1.0 + 0.5 * rng.random(shape))
+    mu = 1e9 * (0.5 + rng.random(shape))
+    lam = 1e9 * (1.0 + rng.random(shape))
+    mat = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=jnp.float32)
+    dt = 0.5 / float(np.sqrt((lam + 2 * mu) / rho).max())
+    borders = {(a, s): BorderSpec("absorbing")
+               for a in range(3) for s in (0, 1)}
+    mesh = domain_mesh(3, devices=jax.devices("cpu")[:8], shape=(4, 2))
+    mext = extended_mstack(model, mat, mesh, 2)
+    u = jax.device_put(
+        jnp.zeros((model.ncomp,) + shape, jnp.float32),
+        field_sharding(mesh, 3))
+
+    step = make_fused_spmd_step(model, mesh, dt, (1.0, 1.0, 1.0), 2, borders,
+                                bx=4, by=8)
+    jaxpr = jax.make_jaxpr(lambda a, b: step(a, b, (0, 1, 2)))(u, mext)
+
+    eqns = list(_all_eqns(jaxpr.jaxpr))
+    pallas = [e for e in eqns if e.primitive.name == "pallas_call"]
+    ppermutes = [e for e in eqns if e.primitive.name == "ppermute"]
+    assert len(pallas) == 2, f"expected interior+ring pallas, got {len(pallas)}"
+    assert ppermutes, "no ppermute found — slabs were not exchanged"
+    interior = min(pallas, key=lambda e: len(e.invars))
+    ring = max(pallas, key=lambda e: len(e.invars))
+
+    # transitive taint from every ppermute output through the dataflow
+    # (vars are compared by object identity — names collide across
+    # sub-jaxprs; the permutes and both pallas calls share one body jaxpr)
+    lit = jax.extend.core.Literal
+    tainted: set = set()
+    for eq in eqns:
+        if eq.primitive.name == "ppermute" or any(
+                (not isinstance(v, lit)) and id(v) in tainted
+                for v in eq.invars):
+            tainted.update(id(v) for v in eq.outvars)
+
+    def op_taint(eqn):
+        return [str(v) for v in eqn.invars
+                if not isinstance(v, lit) and id(v) in tainted]
+
+    interior_tainted = op_taint(interior)
+    ring_tainted = op_taint(ring)
+    ok = (not interior_tainted) and bool(ring_tainted)
+
+    report = [
+        f"ppermute eqns in one step: {len(ppermutes)} "
+        "(x-slab pair + corner-complete y-slab pair)",
+        f"interior pallas_call: {len(interior.invars)} operands; "
+        f"ppermute-tainted operands: {interior_tainted or 'NONE'}",
+        f"ring pallas_call: {len(ring.invars)} operands; "
+        f"ppermute-tainted operands: {len(ring_tainted)} "
+        "(the exchanged slabs + face flags path)",
+    ]
+    md = [
+        "# Halo/compute overlap evidence (fused SPMD step)",
+        "",
+        "Generated by `tools/overlap_evidence.py` on an 8-virtual-device",
+        "CPU mesh (4x2): one fused step of the multi-chip production path",
+        "(`gcm_tpu.parallel.fused_spmd`), 3D elastic, order 2, absorbing",
+        "borders.",
+        "",
+        "**Claim.** The step's O(area) work — the interior Pallas kernel —",
+        "is transitively independent of every `ppermute` (the halo slab",
+        "exchange); only the O(perimeter) ring kernel consumes the slabs.",
+        "XLA lowers `ppermute` to async `collective-permute-start/done` and",
+        "its latency-hiding scheduler serializes a collective only against",
+        "its data dependents, so the slab exchange runs concurrently with",
+        "the interior stencil compute — the same scheduling argument that",
+        "overlaps collective-matmul. The ring kernel then waits only for",
+        "the (tiny) slabs: 2*r rows per sharded axis, <2% of the state at",
+        "production shard sizes; ring/interior tile ratio shrinks as",
+        "2(ntx+nty)/(ntx*nty).",
+        "",
+        "**Mechanical check (transitive jaxpr dataflow, this run):**",
+        "",
+        "```",
+        *report,
+        "```",
+        "",
+        f"**Verdict: {'PASS' if ok else 'FAIL'}** — interior kernel "
+        "independent of the exchange; slabs flow only into the ring kernel.",
+    ]
+    out = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "OVERLAP_EVIDENCE.md"))
+    with open(out, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("\n".join(report))
+    print("verdict:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,16 @@ class SimplexRunResult:
 
 
 class SimplexEngine:
+    """Engine over one simplex body.
+
+    ``border_kind``: one condition for the whole hull (a kind string or a
+    task.BorderSpec). ``borders``: per-area conditions instead — a sequence
+    of ``(Area-or-node-mask, BorderSpec)`` applied over ``border_kind`` as
+    the default (e.g. free surface on top, absorbing sides — the config-4
+    geometry on an unstructured body). Works on imported/non-convex meshes
+    (SimplexGrid.from_cells / load_msh).
+    """
+
     def __init__(
         self,
         grid: SimplexGrid,
@@ -46,6 +56,7 @@ class SimplexEngine:
         border_kind: "str | object" = "absorbing",   # kind or task.BorderSpec
         u0: Optional[np.ndarray] = None,
         dtype=jnp.float32,
+        borders: Optional[Sequence[Tuple[object, object]]] = None,
     ):
         self.grid = grid
         self.model = get_model(model_name)
@@ -67,7 +78,15 @@ class SimplexEngine:
         d, _ = cKDTree(grid.points).query(grid.points, k=2)
         h_min = float(d[:, 1].min())
         self.dt = cfl * h_min / self.mat.max_cp()
-        self.border_kind = border_kind
+        if borders is not None:
+            from gcm_tpu.solver.simplex_gcm import build_node_borders
+            from gcm_tpu.task import BorderSpec
+
+            default = (BorderSpec(border_kind)
+                       if isinstance(border_kind, str) else border_kind)
+            self.border_kind = build_node_borders(grid, borders, default)
+        else:
+            self.border_kind = border_kind
         if isinstance(self.mat, MaterialFields):
             waves = {"p": np.asarray(self.mat.cp)}
             if float(np.asarray(self.mat.cs).max()) > 0:

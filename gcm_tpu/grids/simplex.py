@@ -28,11 +28,25 @@ import numpy as np
 
 @dataclasses.dataclass
 class SimplexGrid:
-    """An unstructured simplex mesh: points [N, dim], cells [M, dim+1]."""
+    """An unstructured simplex mesh: points [N, dim], cells [M, dim+1].
+
+    Two construction families (SURVEY.md §2 component 5 — the reference
+    wraps CGAL triangulations of arbitrary bodies):
+
+    - ``from_points``: Delaunay of a point cloud — convex domains, fastest
+      point location (visibility walk over the Delaunay structure);
+    - ``from_cells`` / ``load_msh``: an arbitrary simplicial complex given
+      explicitly (imported meshes, non-convex bodies, holes). Point
+      location then uses the incidence-candidate locator (_ComplexLocator)
+      — nearest mesh vertices' incident cells tested barycentrically,
+      which never walks across notches/holes.
+    """
 
     points: np.ndarray
     cells: np.ndarray
     delaunay: Optional[object] = None     # scipy.spatial.Delaunay if built
+    _locator: Optional["_ComplexLocator"] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def dim(self) -> int:
@@ -50,6 +64,21 @@ class SimplexGrid:
         tri = Delaunay(points)
         return SimplexGrid(points=points, cells=tri.simplices.copy(),
                            delaunay=tri)
+
+    @staticmethod
+    def from_cells(points: np.ndarray, cells: np.ndarray) -> "SimplexGrid":
+        """Wrap an explicit simplicial complex (cells need NOT be the
+        Delaunay triangulation of the points — non-convex domains, holes,
+        imported meshes)."""
+        points = np.asarray(points, np.float64)
+        cells = np.asarray(cells, np.int32)
+        if cells.ndim != 2 or cells.shape[1] != points.shape[1] + 1:
+            raise ValueError(
+                f"cells must be [M, dim+1]={points.shape[1] + 1}, "
+                f"got {cells.shape}")
+        if cells.min() < 0 or cells.max() >= len(points):
+            raise ValueError("cell vertex index out of range")
+        return SimplexGrid(points=points, cells=cells, delaunay=None)
 
     @staticmethod
     def box(lo: Sequence[float], hi: Sequence[float], n: Sequence[int],
@@ -71,12 +100,146 @@ class SimplexGrid:
         return SimplexGrid.from_points(pts)
 
     def hull_mask(self) -> np.ndarray:
-        """Boolean mask of border (convex-hull) nodes."""
-        from scipy.spatial import ConvexHull
-
+        """Boolean mask of border nodes: vertices of faces that belong to
+        exactly one cell. Correct for any simplicial complex (non-convex
+        bodies, holes), and equals the convex hull for Delaunay grids."""
         m = np.zeros(self.npoints, bool)
-        m[np.unique(ConvexHull(self.points).simplices)] = True
+        m[np.unique(self.boundary_faces())] = True
         return m
+
+    def boundary_faces(self) -> np.ndarray:
+        """Faces [F, dim] that belong to exactly one cell."""
+        d1 = self.cells.shape[1]
+        faces = []
+        for drop in range(d1):
+            f = np.delete(self.cells, drop, axis=1)
+            faces.append(np.sort(f, axis=1))
+        faces = np.concatenate(faces, axis=0)
+        uniq, counts = np.unique(faces, axis=0, return_counts=True)
+        return uniq[counts == 1]
+
+
+@dataclasses.dataclass
+class _ComplexLocator:
+    """Point location on an arbitrary simplicial complex.
+
+    Candidates for a query are all cells incident to its k nearest mesh
+    vertices, tested by barycentric containment with precomputed per-cell
+    affine maps. Setup-time only (the solver consumes static tables), and
+    immune to the non-convexity failure modes of straight-line walks: a
+    query in a notch simply matches no candidate and is reported outside.
+    """
+
+    kdtree: object                  # cKDTree over mesh points
+    v2c: np.ndarray                 # [N, deg] padded incident cells, -1 pad
+    Tinv: np.ndarray                # [M, dim, dim] inverse edge matrices
+    v0: np.ndarray                  # [M, dim] first vertex of each cell
+    ok: np.ndarray                  # [M] non-degenerate cell mask
+
+    @staticmethod
+    def build(points: np.ndarray, cells: np.ndarray) -> "_ComplexLocator":
+        from scipy.spatial import cKDTree
+
+        n, dim = points.shape
+        m = len(cells)
+        # padded vertex->cells incidence
+        flat_v = cells.ravel()
+        flat_c = np.repeat(np.arange(m, dtype=np.int32), dim + 1)
+        order = np.argsort(flat_v, kind="stable")
+        sv, sc = flat_v[order], flat_c[order]
+        counts = np.bincount(sv, minlength=n)
+        deg = int(counts.max()) if m else 1
+        v2c = np.full((n, deg), -1, np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        col = np.arange(len(sv)) - starts[sv]
+        v2c[sv, col] = sc
+        # per-cell affine maps: columns of T are edge vectors v_i - v_0
+        V = points[cells]                              # [M, dim+1, dim]
+        T = np.transpose(V[:, 1:, :] - V[:, :1, :], (0, 2, 1))
+        det = np.linalg.det(T)
+        ok = np.abs(det) > 1e-300
+        Tsafe = np.where(ok[:, None, None], T, np.eye(dim)[None])
+        return _ComplexLocator(
+            kdtree=cKDTree(points), v2c=v2c,
+            Tinv=np.linalg.inv(Tsafe), v0=V[:, 0, :], ok=ok)
+
+    def locate(self, queries: np.ndarray, k: int = 8,
+               tol: float = 1e-9) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (cells [nq] int32, -1 outside; bary [nq, dim+1])."""
+        queries = np.asarray(queries, np.float64)
+        nq, dim = queries.shape
+        k = min(k, len(self.v2c))
+        out_cell = np.full(nq, -1, np.int32)
+        out_bary = np.zeros((nq, dim + 1), np.float64)
+        chunk = max(1, int(2**22 // max(self.v2c.shape[1] * k, 1)))
+        for s in range(0, nq, chunk):
+            q = queries[s:s + chunk]                    # [B, dim]
+            _, nn = self.kdtree.query(q, k=k)
+            if k == 1:
+                nn = nn[:, None]
+            cand = self.v2c[nn].reshape(len(q), -1)     # [B, K]
+            valid = cand >= 0
+            cc = np.where(valid, cand, 0)
+            rel = q[:, None, :] - self.v0[cc]           # [B, K, dim]
+            b = np.einsum("bkij,bkj->bki", self.Tinv[cc], rel)
+            bary = np.concatenate(
+                [1.0 - b.sum(-1, keepdims=True), b], axis=-1)
+            inside = (bary >= -tol).all(-1) & valid & self.ok[cc]
+            first = inside.argmax(axis=1)
+            hit = inside.any(axis=1)
+            rows = np.arange(len(q))
+            out_cell[s:s + chunk] = np.where(
+                hit, cand[rows, first], -1).astype(np.int32)
+            out_bary[s:s + chunk] = np.where(
+                hit[:, None], bary[rows, first], 0.0)
+        return out_cell, out_bary
+
+
+def load_msh(path: str) -> SimplexGrid:
+    """Load a Gmsh ASCII .msh (v2.2) mesh as a SimplexGrid.
+
+    Keeps 4-node tetrahedra (element type 4) if present, else 3-node
+    triangles (type 2, projected to 2D). This is the imported-geometry
+    entry point (the reference triangulates real bodies with CGAL;
+    SURVEY.md §2 component 5).
+    """
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    ids, coords = [], []
+    tris, tets = [], []
+    i = 0
+    while i < len(lines):
+        if lines[i] == "$Nodes":
+            n = int(lines[i + 1])
+            for j in range(n):
+                parts = lines[i + 2 + j].split()
+                ids.append(int(parts[0]))
+                coords.append([float(x) for x in parts[1:4]])
+            i += 2 + n
+        elif lines[i] == "$Elements":
+            n = int(lines[i + 1])
+            for j in range(n):
+                parts = [int(x) for x in lines[i + 2 + j].split()]
+                etype, ntags = parts[1], parts[2]
+                verts = parts[3 + ntags:]
+                if etype == 2:
+                    tris.append(verts)
+                elif etype == 4:
+                    tets.append(verts)
+            i += 2 + n
+        else:
+            i += 1
+    if not ids:
+        raise ValueError(f"no $Nodes section in {path}")
+    id_map = {nid: k for k, nid in enumerate(ids)}
+    pts = np.asarray(coords, np.float64)
+    if tets:
+        cells = np.asarray([[id_map[v] for v in c] for c in tets], np.int32)
+        return SimplexGrid.from_cells(pts, cells)
+    if tris:
+        cells = np.asarray([[id_map[v] for v in c] for c in tris], np.int32)
+        return SimplexGrid.from_cells(pts[:, :2], cells)
+    raise ValueError(f"no triangles/tetrahedra in {path}")
 
 
 @dataclasses.dataclass
@@ -94,20 +257,17 @@ class FootTables:
     outside: np.ndarray
 
 
-def _locate_feet(grid: SimplexGrid, tri, starts, c: np.ndarray,
+def _locate_feet(grid: SimplexGrid, locate, cells_arr, c: np.ndarray,
                  axis: int, direction: int, dt: float) -> FootTables:
     """Locate + barycentric-weight the feet ``x + direction*c*dt*e_axis``."""
-    from gcm_tpu import native
-
     N, dim = grid.npoints, grid.dim
     self_ids = np.arange(N, dtype=np.int32)
     feet = grid.points.copy()
     feet[:, axis] += direction * c * dt
-    # native C++ visibility walk (scipy fallback inside)
-    cells, weights = native.walk_locate(tri, feet, starts)
+    cells, weights = locate(feet)
     outside = cells < 0
     cc = np.where(outside, 0, cells)
-    verts = tri.simplices[cc]                        # [N, dim+1]
+    verts = cells_arr[cc]                            # [N, dim+1]
     # Sliver cells (degenerate Delaunay simplices) can yield
     # weights slightly outside [0,1] or non-finite transforms;
     # clamp + renormalize so every interpolation is a convex
@@ -138,14 +298,24 @@ def _locate_feet(grid: SimplexGrid, tri, starts, c: np.ndarray,
 
 
 def _walk_context(grid: SimplexGrid):
-    tri = grid.delaunay
-    if tri is None:
-        from scipy.spatial import Delaunay
+    """Point-location closure for the grid: (locate(feet), cells_arr).
 
-        tri = Delaunay(grid.points)
-    # each node's own incident cell: O(1) walk starts (CGAL-style)
-    starts = tri.vertex_to_simplex.astype(np.int32)
-    return tri, starts
+    Delaunay grids use the native C++ visibility walk (scipy fallback);
+    explicit complexes (from_cells/load_msh — possibly non-convex) use the
+    incidence-candidate locator.
+    """
+    tri = grid.delaunay
+    if tri is not None:
+        from gcm_tpu import native
+
+        # each node's own incident cell: O(1) walk starts (CGAL-style)
+        starts = tri.vertex_to_simplex.astype(np.int32)
+        return (lambda feet: native.walk_locate(tri, feet, starts),
+                tri.simplices)
+    if grid._locator is None:
+        grid._locator = _ComplexLocator.build(grid.points, grid.cells)
+    loc = grid._locator
+    return loc.locate, grid.cells
 
 
 def build_foot_tables(
@@ -161,7 +331,7 @@ def build_foot_tables(
     ``x + c dt e_a`` (direction +1); speed +c at direction −1 — identical to
     gcm_tpu.ops.interp.
     """
-    tri, starts = _walk_context(grid)
+    locate, cells_arr = _walk_context(grid)
     out: Dict[Tuple[int, str, int], FootTables] = {}
     for a in range(grid.dim):
         for w in waves:
@@ -172,7 +342,7 @@ def build_foot_tables(
                 continue
             for direction in (+1, -1):
                 out[(a, w, direction)] = _locate_feet(
-                    grid, tri, starts, c, a, direction, dt)
+                    grid, locate, cells_arr, c, a, direction, dt)
     return out
 
 
@@ -186,7 +356,7 @@ def build_foot_tables_for_model(
     (orthotropic) media get genuinely per-pair feet (e.g. the two shear
     pairs of a 3D sweep ride different speeds, c55 vs c66).
     """
-    tri, starts = _walk_context(grid)
+    locate, cells_arr = _walk_context(grid)
     out: Dict[Tuple[int, int, int], FootTables] = {}
     for a in range(grid.dim):
         view = mat.axis_view(a, model.stage(a))
@@ -196,5 +366,5 @@ def build_foot_tables_for_model(
                 continue
             for direction in (+1, -1):
                 out[(a, k, direction)] = _locate_feet(
-                    grid, tri, starts, c, a, direction, dt)
+                    grid, locate, cells_arr, c, a, direction, dt)
     return out

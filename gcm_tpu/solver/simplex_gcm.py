@@ -8,23 +8,73 @@ static tables (gcm_tpu.grids.simplex.build_foot_tables) — ``jnp.take`` over
 node arrays, fully static indices, TPU-compatible.
 
 State layout: ``u[ncomp, N]``; material fields ``[N]``. Border conditions:
-the full characteristic set (absorbing, free, fixed_force, fixed_velocity —
-pass a kind string or a task.BorderSpec), applied where the characteristic
-foot leaves the hull (the unstructured analogue of incoming-invariant
-overwrites on boundary slabs).
+the full characteristic set (absorbing, free, fixed_force, fixed_velocity),
+applied where the characteristic foot leaves the hull (the unstructured
+analogue of incoming-invariant overwrites on boundary slabs). Pass a kind
+string / task.BorderSpec (one condition for the whole hull) or a
+:class:`NodeBorders` table (per-node conditions assigned by Area — free
+surface on top, absorbing sides, etc.; build with build_node_borders).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
+import numpy as np
 
-from gcm_tpu.grids.simplex import FootTables
+from gcm_tpu.grids.simplex import FootTables, SimplexGrid
 from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import Model
+from gcm_tpu.task import BORDER_KINDS, Area, BorderSpec
 
 _Z_EPS = 1e-30
+
+#: border-kind codes for the per-node tables (order matches BORDER_KINDS)
+BORDER_CODES = {k: i for i, k in enumerate(BORDER_KINDS)}
+
+
+@dataclasses.dataclass
+class NodeBorders:
+    """Per-node border assignment — the unstructured analogue of the
+    reference's BCs-by-Area (SURVEY.md §2 component 14): e.g. free surface
+    on the top of a body, absorbing on its sides.
+
+    - ``kind [N] int32``: BORDER_CODES of each node's condition (only hull
+      nodes matter — interior feet never leave the domain);
+    - ``value [N, dim, dim]``: value[n, a, t] is the prescribed
+      traction/velocity for the pair with traction axis ``t`` in the sweep
+      along ``a`` (BorderSpec.pair_value semantics, resolved per node).
+    """
+
+    kind: np.ndarray
+    value: np.ndarray
+
+
+def build_node_borders(
+    grid: SimplexGrid,
+    assignments: Sequence[Tuple[Union[Area, np.ndarray], BorderSpec]],
+    default: BorderSpec = BorderSpec("absorbing"),
+) -> NodeBorders:
+    """Assign BorderSpecs to hull nodes by Area (or explicit node mask),
+    later assignments winning where areas overlap."""
+    n, dim = grid.npoints, grid.dim
+    kind = np.full(n, BORDER_CODES[default.kind], np.int32)
+    value = np.zeros((n, dim, dim))
+    for a in range(dim):
+        for t in range(dim):
+            value[:, a, t] = default.pair_value(t, a)
+    for selector, spec in assignments:
+        if isinstance(selector, Area):
+            m = selector.contains(grid.points)
+        else:
+            m = np.asarray(selector, bool)
+        kind[m] = BORDER_CODES[spec.kind]
+        for a in range(dim):
+            for t in range(dim):
+                value[m, a, t] = spec.pair_value(t, a)
+    return NodeBorders(kind=kind, value=value)
 
 
 def _gather_interp(f: jnp.ndarray, ids: jnp.ndarray, wts: jnp.ndarray):
@@ -49,7 +99,7 @@ def simplex_stage(
     mat: MaterialFields,
     tables: Dict[Tuple, FootTables],
     axis: int,
-    border_kind: str = "absorbing",
+    border_kind: Union[str, BorderSpec, NodeBorders] = "absorbing",
 ) -> jnp.ndarray:
     """One characteristic sweep along coordinate axis ``axis``.
 
@@ -84,22 +134,42 @@ def simplex_stage(
         # (same characteristic algebra as solver.boundary, SURVEY.md §0.4)
         out_p = jnp.asarray(tp.outside)   # w_l incoming where its foot left
         out_m = jnp.asarray(tm.outside)   # w_r incoming where its foot left
-        kind, val = _border_kind_value(border_kind, p, axis)
         w_l0, w_r0 = w_l, w_r
-        if kind == "absorbing":
-            w_l = jnp.where(out_p, 0.0, w_l)
-            w_r = jnp.where(out_m, 0.0, w_r)
-        elif kind == "free":
-            w_l = jnp.where(out_p, -w_r0, w_l)
-            w_r = jnp.where(out_m, -w_l0, w_r)
-        elif kind == "fixed_force":
-            w_l = jnp.where(out_p, 2.0 * val - w_r0, w_l)
-            w_r = jnp.where(out_m, 2.0 * val - w_l0, w_r)
-        elif kind == "fixed_velocity":
-            w_l = jnp.where(out_p, w_r0 + 2.0 * sign * z * val, w_l)
-            w_r = jnp.where(out_m, w_l0 - 2.0 * sign * z * val, w_r)
-        else:  # pragma: no cover
-            raise ValueError(kind)
+        if isinstance(border_kind, NodeBorders):
+            # per-node kinds/values (BCs-by-area): build the incoming
+            # invariant for every kind and select by node code
+            code = jnp.asarray(border_kind.kind)
+            val = jnp.asarray(
+                border_kind.value[:, axis, p.traction_axis], dtype=u.dtype)
+            zero = jnp.zeros_like(w_l0)
+            inc_l = jnp.where(
+                code == 0, zero, jnp.where(
+                    code == 1, -w_r0, jnp.where(
+                        code == 2, 2.0 * val - w_r0,
+                        w_r0 + 2.0 * sign * z * val)))
+            inc_r = jnp.where(
+                code == 0, zero, jnp.where(
+                    code == 1, -w_l0, jnp.where(
+                        code == 2, 2.0 * val - w_l0,
+                        w_l0 - 2.0 * sign * z * val)))
+            w_l = jnp.where(out_p, inc_l, w_l)
+            w_r = jnp.where(out_m, inc_r, w_r)
+        else:
+            kind, val = _border_kind_value(border_kind, p, axis)
+            if kind == "absorbing":
+                w_l = jnp.where(out_p, 0.0, w_l)
+                w_r = jnp.where(out_m, 0.0, w_r)
+            elif kind == "free":
+                w_l = jnp.where(out_p, -w_r0, w_l)
+                w_r = jnp.where(out_m, -w_l0, w_r)
+            elif kind == "fixed_force":
+                w_l = jnp.where(out_p, 2.0 * val - w_r0, w_l)
+                w_r = jnp.where(out_m, 2.0 * val - w_l0, w_r)
+            elif kind == "fixed_velocity":
+                w_l = jnp.where(out_p, w_r0 + 2.0 * sign * z * val, w_l)
+                w_r = jnp.where(out_m, w_l0 - 2.0 * sign * z * val, w_r)
+            else:  # pragma: no cover
+                raise ValueError(kind)
 
         A_new = 0.5 * (w_l + w_r)
         B_prop = sign * (w_l - w_r) / (2.0 * jnp.maximum(z, _Z_EPS))
@@ -120,7 +190,7 @@ def simplex_step(
     u: jnp.ndarray,
     mat: MaterialFields,
     tables: Dict[Tuple[int, str, int], FootTables],
-    border_kind: str = "absorbing",
+    border_kind: Union[str, BorderSpec, NodeBorders] = "absorbing",
     axes: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     if axes is None:

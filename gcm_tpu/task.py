@@ -74,9 +74,15 @@ class GridSpec:
 # ---------------------------------------------------------------- areas
 
 class Area:
-    """A spatial region; rasterizes to a node mask on a given grid."""
+    """A spatial region; rasterizes to a node mask on a structured grid
+    (``mask``) or on an arbitrary point cloud (``contains`` — used for
+    simplex-mesh node selection, e.g. per-area border conditions)."""
 
     def mask(self, grid: GridSpec) -> np.ndarray:
+        raise NotImplementedError
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        """Boolean mask over ``points [N, dim]``."""
         raise NotImplementedError
 
 
@@ -84,6 +90,9 @@ class Area:
 class AreaAll(Area):
     def mask(self, grid: GridSpec) -> np.ndarray:
         return np.ones(grid.shape, dtype=bool)
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        return np.ones(len(points), dtype=bool)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +107,12 @@ class AreaBox(Area):
             m &= (x >= self.lo[a]) & (x <= self.hi[a])
         return m
 
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        points = np.asarray(points)
+        lo = np.asarray(self.lo)
+        hi = np.asarray(self.hi)
+        return ((points >= lo) & (points <= hi)).all(axis=1)
+
 
 @dataclasses.dataclass(frozen=True)
 class AreaBall(Area):
@@ -108,6 +123,10 @@ class AreaBall(Area):
         xs = grid.meshgrid()
         r2 = sum((x - c) ** 2 for x, c in zip(xs, self.center))
         return r2 <= self.radius ** 2
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        d2 = ((np.asarray(points) - np.asarray(self.center)) ** 2).sum(axis=1)
+        return d2 <= self.radius ** 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,6 +139,10 @@ class AreaLayer(Area):
 
     def mask(self, grid: GridSpec) -> np.ndarray:
         x = grid.meshgrid()[self.axis]
+        return (x >= self.lo) & (x <= self.hi)
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        x = np.asarray(points)[:, self.axis]
         return (x >= self.lo) & (x <= self.hi)
 
 

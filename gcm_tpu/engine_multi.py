@@ -78,12 +78,16 @@ class MultiBodyEngine:
         self.dt = float(min(dts))
         self.nsteps = t0.time.steps_for(self.dt)
 
-        # bond masks for fracture-enabled contacts (interface slab shape)
+        # bond masks for fracture-enabled contacts (overlap slab shape)
         self.bonded: Dict[int, jnp.ndarray] = {}
         for ci, c in enumerate(self.contacts):
             if c.tensile_strength is not None:
-                shape_a = bodies[c.body_a].grid.shape
-                slab = tuple(s for a, s in enumerate(shape_a) if a != c.axis)
+                if c.span is not None:
+                    slab = tuple(c.span)
+                else:
+                    shape_a = bodies[c.body_a].grid.shape
+                    slab = tuple(s for a, s in enumerate(shape_a)
+                                 if a != c.axis)
                 self.bonded[ci] = jnp.ones(slab, dtype=dtype)
 
         # detectors (per body)

@@ -9,8 +9,12 @@ jit covers the whole system and XLA schedules bodies concurrently.
 
 Bodies must share the model and interpolation order; each body has its own
 grid shape, materials (isotropic or orthotropic — anything exposing
-``axis_view``), and border conditions. Contact interfaces must be
-grid-conforming (collocated nodes, equal transverse shape/spacing).
+``axis_view``), and border conditions. Contact interfaces are
+grid-conforming (collocated nodes, equal spacing) but may be **offset
+sub-rectangles** of the two faces (ContactSpec lo_a/lo_b/span): face nodes
+outside the overlap keep the body's own border condition, so stepped /
+partially-overlapping assemblies work. Friction contacts (Coulomb cap)
+are solved normal-pair-first.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from gcm_tpu.ops.stage import (
     apply_zero_invariants, reconstruct_pair, stage_pair_updates,
 )
 from gcm_tpu.solver.boundary import correct_pair_at_face
-from gcm_tpu.solver.contact import ContactSpec, contact_face_update, update_bonded
+from gcm_tpu.solver.contact import ContactSpec, apply_contact
 from gcm_tpu.task import BorderSpec
 
 BodyStates = Dict[str, jnp.ndarray]
@@ -54,46 +58,24 @@ def stage_multi(
         pair_ws[name] = stage_pair_updates(
             model, u, views[name], dt / hs[name][axis], axis, order)
 
-    # faces consumed by a contact (border conditions must not touch them)
-    contact_faces = set()
-    for ci, c in enumerate(contacts):
-        if c.axis == axis:
-            contact_faces.add((c.body_a, axis, 1))
-            contact_faces.add((c.body_b, axis, 0))
+    # faces fully consumed by a contact: the body's own border condition is
+    # skipped there.  Partial-overlap contacts (lo/span set) leave the face's
+    # border condition in force — the contact solve then overwrites only the
+    # overlap sub-rectangle (step 3 runs after step 2), so the exposed part
+    # of a stepped face keeps e.g. its free surface.
+    full_contact_faces = set()
+    for c in contacts:
+        if c.axis == axis and c.span is None:
+            full_contact_faces.add((c.body_a, axis, 1))
+            full_contact_faces.add((c.body_b, axis, 0))
 
-    # 2. contact solves on this axis
-    new_bonded = dict(bonded)
-    for ci, c in enumerate(contacts):
-        if c.axis != axis:
-            continue
-        bmask = bonded.get(ci)
-        s_star_p = None
-        for k in sorted(pair_ws[c.body_a]):
-            w_l_a, w_r_a, p = pair_ws[c.body_a][k]
-            w_l_b, w_r_b, pb = pair_ws[c.body_b][k]
-            assert p.wave == pb.wave
-            # per-pair impedance fields from the axis views — the solve is
-            # anisotropy-agnostic (isotropic and orthotropic bodies alike)
-            w_l_a, w_r_b, s_star = contact_face_update(
-                c, p.traction_axis == c.axis, w_l_a, w_r_a, w_l_b, w_r_b,
-                views[c.body_a].pair_z[k], views[c.body_b].pair_z[k], bmask,
-            )
-            pair_ws[c.body_a][k] = (w_l_a, w_r_a, p)
-            pair_ws[c.body_b][k] = (w_l_b, w_r_b, pb)
-            if s_star is not None:
-                s_star_p = s_star
-        if bmask is not None and s_star_p is not None:
-            new_bonded[ci] = update_bonded(c, bmask, s_star_p)
-
-    # 3. border corrections on non-contact faces, then reconstruction
-    out: BodyStates = {}
-    for name, u in us.items():
+    # 2. border corrections on every (non-fully-contacted) face
+    for name in us:
         view = views[name]
-        comps: Dict[int, jnp.ndarray] = {}
         for k, (w_l, w_r, p) in pair_ws[name].items():
             z = view.pair_z[k]
             for side in (0, 1):
-                if (name, axis, side) in contact_faces:
+                if (name, axis, side) in full_contact_faces:
                     continue
                 bc = borders.get(name, {}).get((axis, side))
                 if bc is not None:
@@ -101,6 +83,30 @@ def stage_multi(
                     w_l, w_r = correct_pair_at_face(
                         w_l, w_r, z, model.sign, bc, axis, side, val
                     )
+            pair_ws[name][k] = (w_l, w_r, p)
+
+    # 3. contact solves on this axis (normal pair first — its sigma* feeds
+    # friction/unilateral/fracture logic; overwrites the overlap sub-slabs)
+    new_bonded = dict(bonded)
+    for ci, c in enumerate(contacts):
+        if c.axis != axis:
+            continue
+        pa, pb, nb = apply_contact(
+            c, model.dim, pair_ws[c.body_a], pair_ws[c.body_b],
+            views[c.body_a], views[c.body_b], bonded.get(ci),
+        )
+        pair_ws[c.body_a] = pa
+        pair_ws[c.body_b] = pb
+        if nb is not None:
+            new_bonded[ci] = nb
+
+    # 4. reconstruction
+    out: BodyStates = {}
+    for name, u in us.items():
+        view = views[name]
+        comps: Dict[int, jnp.ndarray] = {}
+        for k, (w_l, w_r, p) in pair_ws[name].items():
+            z = view.pair_z[k]
             A_new, B_new = reconstruct_pair(w_l, w_r, z, u[p.vel], model.sign)
             comps[p.sigma] = A_new
             comps[p.vel] = B_new

@@ -1,0 +1,234 @@
+"""Offset (partial-overlap) contact interfaces + Coulomb friction.
+
+Round-1 verdict item 5. The partial-overlap bonded test uses the
+domain-of-dependence argument for monolithic equivalence: nodes whose
+dependence cone stays inside the overlap must match the monolithic run
+exactly, even though the assembly as a whole is not a box.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gcm_tpu.materials import IsotropicMaterial, MaterialFields
+from gcm_tpu.models.spec import get_model
+from gcm_tpu.solver.contact import ContactSpec
+from gcm_tpu.solver.gcm import step
+from gcm_tpu.solver.multi import step_multi
+from gcm_tpu.task import BorderSpec
+
+MAT = IsotropicMaterial.from_speeds(rho=1000.0, cp=2000.0, cs=1100.0)
+
+
+def _mat(shape):
+    return MaterialFields.uniform(MAT, shape, xp=jnp, dtype=jnp.float64)
+
+
+def test_partial_overlap_bonded_matches_monolithic_in_dependence_cone(rng):
+    """body_b covers only transverse rows 4..19 of body_a's face; inside the
+    overlap, nodes >= nsteps cells from every overlap edge evolve exactly
+    as in the monolithic domain (order 1: 1-cell reach per sweep)."""
+    model = get_model("elastic2d")
+    nx, ny, k = 21, 24, 10
+    lo, span = 4, 16
+    h = (1.0, 1.0)
+    dt = 0.6 / MAT.cp
+    nsteps = 4
+
+    u0 = rng.standard_normal((model.ncomp, nx, ny))
+    for a in range(1, 3):
+        u0 = 0.25 * np.roll(u0, 1, a) + 0.5 * u0 + 0.25 * np.roll(u0, -1, a)
+
+    borders = {(a, s): BorderSpec("absorbing") for a in range(2)
+               for s in (0, 1)}
+    mono = jnp.asarray(u0)
+    mat_m = _mat((nx, ny))
+
+    ua = jnp.asarray(u0[:, :k + 1, :])
+    ub = jnp.asarray(u0[:, k:, lo:lo + span])
+    us = {"a": ua, "b": ub}
+    mats = {"a": _mat(ua.shape[1:]), "b": _mat(ub.shape[1:])}
+    hs = {"a": h, "b": h}
+    body_borders = {
+        # body_a keeps a border on its contact face too: the exposed part
+        # of the stepped face (outside the overlap) is absorbing like the
+        # rest of the monolithic-domain proxy boundary
+        "a": dict(borders),
+        "b": {f: b for f, b in borders.items() if f != (0, 0)},
+    }
+    contact = ContactSpec("a", "b", axis=0, kind="bonded",
+                          lo_a=(lo,), lo_b=(0,), span=(span,))
+
+    for n in range(nsteps):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        mono = step(model, mono, mat_m, dt, h, 1, borders, axes)
+        us, _ = step_multi(model, us, mats, dt, hs, 1, body_borders,
+                           (contact,), {}, axes)
+
+    mono = np.asarray(mono)
+    m = nsteps + 1  # safety margin over the dependence cone
+    ja, jb = lo + m, lo + span - m
+    # body_a: rows near the interface, inside the overlap cone
+    got_a = np.asarray(us["a"])[:, k - m:k + 1, ja:jb]
+    want_a = mono[:, k - m:k + 1, ja:jb]
+    np.testing.assert_allclose(got_a, want_a, rtol=1e-12, atol=1e-12)
+    # body_b: its own frame (transverse offset lo)
+    got_b = np.asarray(us["b"])[:, :m, m:span - m]
+    want_b = mono[:, k:k + m, ja:jb]
+    np.testing.assert_allclose(got_b, want_b, rtol=1e-12, atol=1e-12)
+
+
+def test_partial_overlap_exposed_face_keeps_border():
+    """The uncovered part of a stepped face honors the body's own border
+    condition: a free exposed ledge keeps zero normal traction."""
+    model = get_model("elastic2d")
+    nx, ny, k = 17, 20, 8
+    lo, span = 0, 8     # overlap covers only the low half of body_a's face
+    h = (1.0, 1.0)
+    dt = 0.6 / MAT.cp
+
+    # compressive pulse in body_a heading +x into the interface
+    x = np.arange(k + 1) * h[0]
+    prof = np.exp(-((x - 4.0) ** 2) / 2.0)
+    z = MAT.rho * MAT.cp
+    ua = np.zeros((model.ncomp, k + 1, ny))
+    ua[model.comp("sxx")] = 1e6 * prof[:, None]
+    ua[model.comp("vx")] = -1e6 * prof[:, None] / z
+    ub = np.zeros((model.ncomp, nx - k, span))
+
+    us = {"a": jnp.asarray(ua), "b": jnp.asarray(ub)}
+    mats = {"a": _mat((k + 1, ny)), "b": _mat((nx - k, span))}
+    hs = {"a": h, "b": h}
+    borders_a = {(a, s): BorderSpec("absorbing") for a in range(2)
+                 for s in (0, 1)}
+    borders_a[(0, 1)] = BorderSpec("free")   # exposed ledge of contact face
+    borders_b = {(a, s): BorderSpec("absorbing") for a in range(2)
+                 for s in (0, 1) if (a, s) != (0, 0)}
+    contact = ContactSpec("a", "b", axis=0, kind="bonded",
+                          lo_a=(lo,), lo_b=(0,), span=(span,))
+
+    sxx = model.comp("sxx")
+    for n in range(10):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        us, _ = step_multi(model, us, mats, dt, hs, 1,
+                           {"a": borders_a, "b": borders_b},
+                           (contact,), {}, axes)
+        a = np.asarray(us["a"])
+        # exposed ledge (transverse rows outside the overlap): after a step
+        # whose LAST sweep is along the contact axis, the free BC holds the
+        # ledge traction to exact zero; after y-final steps the transverse
+        # sweep's zero-invariant coupling leaves the usual percent-level
+        # dimensional-splitting residue (same as single-body free faces).
+        ledge = np.abs(a[sxx, -1, span + 2:]).max()
+        if axes[-1] == 0:
+            assert ledge < 1e-6, (n, ledge)
+        else:
+            # a glued ledge would carry ~50% of the pulse
+            assert ledge < 0.15 * 1e6, (n, ledge)
+    # covered region transmitted energy into body_b
+    b = np.asarray(us["b"])
+    assert np.abs(b[sxx]).max() > 0.2e6
+
+
+def _shear_setup(tau0, P0=1e6):
+    """Two stacked 2D bodies with uniform compression -P0 across the
+    interface and a +x-going shear pulse of amplitude tau0 in body_a."""
+    model = get_model("elastic2d")
+    na, nb, ny = 25, 25, 16
+    h = (1.0, 1.0)
+    dt = 0.6 / MAT.cp
+    zs = MAT.rho * MAT.cs
+    x = np.arange(na) * h[0]
+    # 4 cells from the interface: cs*dt = 0.33 cells/step, so the pulse
+    # peak hits the interface around step 12
+    prof = np.exp(-((x - 20.0) ** 2) / 4.0)
+
+    ua = np.zeros((model.ncomp, na, ny))
+    ub = np.zeros((model.ncomp, nb, ny))
+    ua[model.comp("sxx")] = -P0
+    ub[model.comp("sxx")] = -P0
+    ua[model.comp("sxy")] += tau0 * prof[:, None]
+    ua[model.comp("vy")] += -tau0 * prof[:, None] / zs
+    borders = {(a, s): BorderSpec("absorbing") for a in range(2)
+               for s in (0, 1)}
+    return model, {"a": jnp.asarray(ua), "b": jnp.asarray(ub)}, \
+        {"a": _mat((na, ny)), "b": _mat((nb, ny))}, {"a": h, "b": h}, \
+        {"a": {f: b for f, b in borders.items() if f != (0, 1)},
+         "b": {f: b for f, b in borders.items() if f != (0, 0)}}, dt
+
+
+def _run(model, us, mats, hs, bb, dt, contact, nsteps=16):
+    for n in range(nsteps):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        us, _ = step_multi(model, us, mats, dt, hs, 1, bb, (contact,), {},
+                           axes)
+    return us
+
+
+def test_friction_sticks_below_cap(rng):
+    """|tau*| << mu*|sigma_n|: the friction contact is indistinguishable
+    from bonded (stick)."""
+    mu, P0, tau0 = 0.4, 1e6, 0.5e5
+    model, us, mats, hs, bb, dt = _shear_setup(tau0, P0)
+    us2 = {k: v for k, v in us.items()}
+    got = _run(model, us, mats, hs, bb, dt,
+               ContactSpec("a", "b", 0, kind="friction", friction_mu=mu))
+    want = _run(model, us2, mats, hs, bb, dt,
+                ContactSpec("a", "b", 0, kind="bonded"))
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-10, atol=1e-4)
+
+
+def test_friction_slides_at_cap():
+    """tau* >> mu*|sigma_n|: interface shear traction is capped at
+    mu*P0 and the bodies slip (tangential velocity jump)."""
+    mu, P0, tau0 = 0.3, 1e6, 1.5e6
+    model, us, mats, hs, bb, dt = _shear_setup(tau0, P0)
+    contact = ContactSpec("a", "b", 0, kind="friction", friction_mu=mu)
+    sxx = model.comp("sxx")
+    sxy, vy = model.comp("sxy"), model.comp("vy")
+    mid = slice(4, 12)
+    peak_ratio = 0.0
+    peak_slip = 0.0
+    for n in range(24):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        us, _ = step_multi(model, us, mats, dt, hs, 1, bb, (contact,), {},
+                           axes)
+        face_a = np.asarray(us["a"])[:, -1, :]
+        face_b = np.asarray(us["b"])[:, 0, :]
+        peak_slip = max(
+            peak_slip, np.abs(face_a[vy][mid] - face_b[vy][mid]).max())
+        if axes[-1] != 0:
+            continue  # y-final steps perturb the face values (splitting)
+        # Coulomb law POINTWISE with the *current* normal traction (the
+        # pulse's vy drives syy, which feeds sxx through the zero-invariant
+        # coupling — the interface compression is not static P0):
+        # |tau| <= mu * max(-sigma_n, 0) on both faces.
+        for face in (face_a, face_b):
+            sig_c = np.maximum(-face[sxx][mid], 0.0)
+            tau = np.abs(face[sxy][mid])
+            assert (tau <= mu * sig_c * (1 + 1e-9) + 1e-6).all(), \
+                (n, tau, mu * sig_c)
+        ratio = np.abs(face_a[sxy][mid]) / np.maximum(
+            mu * np.maximum(-face_a[sxx][mid], 0.0), 1e-30)
+        peak_ratio = max(peak_ratio, ratio.max())
+    # the cap is actually attained while the pulse drives the interface
+    assert peak_ratio > 0.999, peak_ratio
+    # slip: tangential velocities differ across the interface while sliding
+    assert peak_slip > 0.1 * tau0 / (MAT.rho * MAT.cs), peak_slip
+
+
+def test_friction_mu_zero_equals_slip_kind():
+    """mu=0 friction degenerates to the frictionless 'slip' kind while the
+    interface stays compressed."""
+    model, us, mats, hs, bb, dt = _shear_setup(0.8e6)
+    us2 = {k: v for k, v in us.items()}
+    got = _run(model, us, mats, hs, bb, dt,
+               ContactSpec("a", "b", 0, kind="friction", friction_mu=0.0),
+               nsteps=8)
+    want = _run(model, us2, mats, hs, bb, dt,
+                ContactSpec("a", "b", 0, kind="slip"), nsteps=8)
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-10, atol=1e-6)

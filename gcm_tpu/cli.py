@@ -34,8 +34,13 @@ def _build_parser():
     r.add_argument("--cpu", action="store_true", help="force the CPU backend")
     r.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace into <outdir>/trace")
-    r.add_argument("--kernel", default=None, choices=["jnp", "pallas"],
+    r.add_argument("--kernel", default=None,
+                   choices=["jnp", "pallas", "pallas_fused"],
                    help="compute path (default: task's, usually jnp)")
+    r.add_argument("--mesh", default=None, metavar="NX[,NY]",
+                   help="distribute over a device mesh of this shape "
+                        "(shard_map fused kernel when the task qualifies, "
+                        "per-sweep pallas/GSPMD otherwise)")
 
     sub.add_parser("list", help="list available scenarios")
 
@@ -95,7 +100,17 @@ def main(argv=None) -> int:
 
     import os
 
-    eng = Engine(task)
+    mesh = None
+    if args.mesh is not None:
+        from gcm_tpu.parallel.sharding import domain_mesh
+
+        shape = tuple(int(x) for x in args.mesh.split(","))
+        import jax as _jax
+
+        ndev = int(1 if not shape else __import__("numpy").prod(shape))
+        mesh = domain_mesh(task.grid.dim, devices=_jax.devices()[:ndev],
+                           shape=shape if len(shape) > 1 else None)
+    eng = Engine(task, mesh=mesh)
     if args.resume:
         from gcm_tpu.utils.checkpoint import latest_step, restore_checkpoint
 

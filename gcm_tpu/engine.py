@@ -70,11 +70,10 @@ class Engine:
         self.dt = cfl_dt(self.mat, task.grid.h, task.time.cfl)
         self.nsteps = task.time.steps_for(self.dt)
 
+        from gcm_tpu.task import apply_initial
+
         u0 = np.zeros((self.model.ncomp,) + task.grid.shape, dtype=np.float64)
-        for ic in task.initial:
-            msk = ic.area.mask(task.grid)
-            for name, val in ic.values.items():
-                u0[self.model.comp(name)][msk] = val
+        apply_initial(u0, self.model, task.grid, task.initial)
         self.u = jnp.asarray(u0, dtype=dtype)
 
         self.mesh = mesh
@@ -89,8 +88,7 @@ class Engine:
             self.u = jax.device_put(
                 self.u, field_sharding(mesh, self.model.dim))
             mshard = material_sharding(mesh, self.model.dim)
-            if (task.kernel == "pallas_fused" and self.model.dim == 3
-                    and isinstance(self.mat, MaterialFields)):
+            if task.kernel == "pallas_fused" and self.model.dim == 3:
                 from gcm_tpu.parallel.fused_spmd import (
                     extended_mstack, make_fused_spmd_step)
 
@@ -121,15 +119,24 @@ class Engine:
             self.mat = jax.tree.map(partial(jax.device_put, device=sharding), self.mat)
 
         # material stack for the fused full-step kernel: built once at setup
-        # (single-chip isotropic path; orthotropic runs use the per-stage
-        # pallas or jnp sweeps, which consume the generic AxisView)
+        # (isotropic media use the compact layout, orthotropic media the
+        # per-stiffness layout; 3D uses fused_step, 2D fused_step_2d)
         self._mstack = None
+        self._fused_fn = None
         if (mesh is None and task.kernel == "pallas_fused"
-                and self.model.dim == 3
-                and isinstance(self.mat, MaterialFields)):
-            from gcm_tpu.ops.pallas_fused import stack_mats
+                and self.model.dim in (2, 3)
+                # the 2D kernel needs 8-aligned x slices (Mosaic tiling);
+                # other shapes fall through to the per-sweep pallas path
+                and (self.model.dim == 3 or task.grid.shape[0] % 8 == 0)):
+            from gcm_tpu.ops.pallas_fused import (
+                fused_step, fused_step_2d, stack_mats, stack_mats_ortho)
 
-            self._mstack = stack_mats(self.model, self.mat)
+            if isinstance(self.mat, MaterialFields):
+                self._mstack = stack_mats(self.model, self.mat, compact=True)
+            else:
+                self._mstack = stack_mats_ortho(self.model, self.mat)
+            self._fused_fn = fused_step if self.model.dim == 3 \
+                else fused_step_2d
 
         # source injection tables: static node indices + per-step amplitudes
         # (all steps evaluated in one vectorized call — setup stays O(1)-ish
@@ -188,9 +195,7 @@ class Engine:
             carry = self._mext if self._mext is not None else self.mat
             u = self._spmd_step(u, carry, axes)
         elif self._mstack is not None:
-            from gcm_tpu.ops.pallas_fused import fused_step
-
-            u = fused_step(
+            u = self._fused_fn(
                 model, u, self._mstack, self.dt, task.grid.h, task.order,
                 task.borders, axes,
             )

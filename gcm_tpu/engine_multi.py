@@ -43,10 +43,17 @@ class MultiBodyEngine:
     All bodies must use the same model, order and symmetrization; dt is the
     global CFL minimum over bodies (as in the reference's allreduce-min,
     SURVEY.md §3.1 — but static, computed once host-side).
+
+    Fast paths (round-1 verdict weak #4): bodies whose tasks set
+    ``kernel='pallas'``/``'pallas_fused'`` run each sweep through the
+    per-sweep Pallas kernel with borders and contacts applied as exact
+    post-sweep slab fixups; with ``mesh=`` the sweeps run under shard_map
+    with explicit halo exchange while the fixups stay GSPMD slab math.
+    The jnp kernel with ``mesh=`` is the plain GSPMD global program.
     """
 
     def __init__(self, bodies: Dict[str, Task], contacts: Sequence[ContactSpec],
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
         names = list(bodies)
         self.tasks = bodies
         self.contacts = tuple(contacts)
@@ -54,9 +61,13 @@ class MultiBodyEngine:
         self.model = get_model(t0.model)
         self.order = t0.order
         self.symmetrize = t0.symmetrize_stages
+        self.kernel = t0.kernel
+        self.mesh = mesh
         for t in bodies.values():
             if t.model != t0.model or t.order != t0.order:
                 raise ValueError("bodies must share model and order")
+            if t.kernel != t0.kernel:
+                raise ValueError("bodies must share the kernel choice")
 
         self.mats: Dict[str, MaterialFields] = {}
         self.us: Dict[str, jnp.ndarray] = {}
@@ -68,15 +79,49 @@ class MultiBodyEngine:
             self.mats[name] = mat
             self.hs[name] = task.grid.h
             self.borders[name] = dict(task.borders)
+            from gcm_tpu.task import apply_initial
+
             u0 = np.zeros((self.model.ncomp,) + task.grid.shape)
-            for ic in task.initial:
-                msk = ic.area.mask(task.grid)
-                for cname, val in ic.values.items():
-                    u0[self.model.comp(cname)][msk] = val
+            apply_initial(u0, self.model, task.grid, task.initial)
             self.us[name] = jnp.asarray(u0, dtype=dtype)
             dts.append(task.time.cfl * min(task.grid.h) / mat.max_cp())
         self.dt = float(min(dts))
         self.nsteps = t0.time.steps_for(self.dt)
+
+        if mesh is not None:
+            from gcm_tpu.parallel.sharding import (
+                field_sharding, material_sharding)
+
+            fs = field_sharding(mesh, self.model.dim)
+            ms = material_sharding(mesh, self.model.dim)
+            self.us = {k: jax.device_put(v, fs) for k, v in self.us.items()}
+            self.mats = {
+                k: jax.tree.map(partial(jax.device_put, device=ms), v)
+                for k, v in self.mats.items()}
+
+        # fast-path raw sweeps (borders/contacts become post-fixups)
+        self._raw_stage = None
+        if self.kernel in ("pallas", "pallas_fused"):
+            if mesh is None:
+                from gcm_tpu.ops.pallas_stage import pallas_stage
+
+                def _raw(name, u, axis):
+                    return pallas_stage(
+                        self.model, u, self.mats[name], self.dt,
+                        self.hs[name], axis, self.order, None, cx=32)
+            else:
+                from gcm_tpu.parallel.halo import make_spmd_raw_stage
+
+                fns = {
+                    name: make_spmd_raw_stage(
+                        self.model, mesh, self.dt, self.hs[name], self.order)
+                    for name in names
+                }
+
+                def _raw(name, u, axis):
+                    return fns[name](u, self.mats[name], axis)
+
+            self._raw_stage = _raw
 
         # bond masks for fracture-enabled contacts (overlap slab shape)
         self.bonded: Dict[int, jnp.ndarray] = {}
@@ -133,10 +178,18 @@ class MultiBodyEngine:
         axes = tuple(range(self.model.dim))
         if self.symmetrize and parity == 1:
             axes = axes[::-1]
-        us, bonded = step_multi(
-            self.model, us, self.mats, self.dt, self.hs, self.order,
-            self.borders, self.contacts, bonded, axes,
-        )
+        if self._raw_stage is not None:
+            from gcm_tpu.solver.multi import step_multi_fast
+
+            us, bonded = step_multi_fast(
+                self.model, us, self.mats, self.borders, self.contacts,
+                bonded, self._raw_stage, axes,
+            )
+        else:
+            us, bonded = step_multi(
+                self.model, us, self.mats, self.dt, self.hs, self.order,
+                self.borders, self.contacts, bonded, axes,
+            )
         for k, (name, node, comp, _) in enumerate(self._srcs):
             us = dict(us)
             us[name] = us[name].at[(comp,) + node].add(n_amp[k])

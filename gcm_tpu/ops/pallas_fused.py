@@ -30,11 +30,14 @@ material windows; replicating materials too makes the recomputed halo sweep
 of a patched row bit-identical to the real edge row, reproducing the jnp
 path's ``edge_pad`` semantics exactly (tests/test_pallas_fused.py).
 
-Scope: 3D grids, f32, isotropic ``MaterialFields``, orders 1..4, axes order
-(0,1,2) or its reverse (the engine's symmetrized splitting).  Other cases
-fall back to the per-sweep kernels.  Reference counterpart: the per-node
-stage loop of ``GridCharacteristicMethod`` (SURVEY.md §3.2) — reimagined as
-a single-pass, windowed, in-VMEM pipeline rather than a translation.
+Scope: 3D (``fused_step``/``fused_step_slab``) and 2D (``fused_step_2d``)
+grids, f32, isotropic AND orthotropic media (three material-stack layouts
+— derived/compact isotropic and the per-stiffness orthotropic stack —
+inferred from the stack height), orders 1..4, axes order (0,1,2) or its
+reverse (the engine's symmetrized splitting).  Reference counterpart: the
+per-node stage loop of ``GridCharacteristicMethod`` (SURVEY.md §3.2) —
+reimagined as a single-pass, windowed, in-VMEM pipeline rather than a
+translation.
 """
 
 from __future__ import annotations
@@ -59,25 +62,42 @@ _Z_EPS = 1e-30
 
 # --------------------------------------------------------------- material stack
 
-def mat_layout(model: Model) -> List[str]:
-    """Names of the derived material fields the fused kernel reads, in
-    stack order.  Isotropic media are axis-independent, so one stack serves
-    all three sweeps.  ``r<w>`` is the precomputed half-reciprocal impedance
-    ``0.5/z`` (0 where z == 0) — a multiply in the hot loop instead of a
-    per-pair VPU divide."""
+def _model_waves(model: Model) -> List[str]:
     waves = []
     for st in model.stages:
         for p in st.pairs:
             if p.wave not in waves:
                 waves.append(p.wave)
-    fields = ([f"c{w}" for w in waves] + [f"z{w}" for w in waves]
-              + [f"r{w}" for w in waves])
+    return waves
+
+
+def mat_layout(model: Model, compact: bool = False) -> List[str]:
+    """Names of the material fields the fused kernel reads, in stack order.
+    Isotropic media are axis-independent, so one stack serves all sweeps.
+
+    Default ("derived") layout ships every field the sweeps consume:
+    speeds ``c<w>``, impedances ``z<w>``, precomputed half-reciprocal
+    impedances ``r<w>`` (= 0.5/z, 0 where z == 0 — a multiply in the hot
+    loop instead of a per-pair VPU divide), and ``kappa``.
+
+    The ``compact`` layout ships only {c<w>..., rho, kappa} and derives
+    z/r in-kernel per tile (two multiplies + one reciprocal per wave over
+    the tile window): the kernel is DMA-bound (round-2 roofline study in
+    BASELINE.md), so trading a little VPU work for 3 fewer streamed fields
+    is a net win."""
+    waves = _model_waves(model)
+    if compact:
+        fields = [f"c{w}" for w in waves] + ["rho"]
+    else:
+        fields = ([f"c{w}" for w in waves] + [f"z{w}" for w in waves]
+                  + [f"r{w}" for w in waves])
     if any(st.zeros for st in model.stages):
         fields.append("kappa")
     return fields
 
 
-def stack_mats(model: Model, mat: MaterialFields) -> jnp.ndarray:
+def stack_mats(model: Model, mat: MaterialFields,
+               compact: bool = False) -> jnp.ndarray:
     """Stack the needed per-node material fields into one (nm, *spatial)
     array.  Call once at setup — not inside the stepped loop."""
     zp = jnp.asarray(mat.zp)
@@ -88,8 +108,132 @@ def stack_mats(model: Model, mat: MaterialFields) -> jnp.ndarray:
 
     name_map = {"cp": mat.cp, "cs": mat.cs, "zp": zp, "zs": zs,
                 "rp": half_recip(zp), "rs": half_recip(zs),
-                "kappa": mat.kappa}
-    return jnp.stack([jnp.asarray(name_map[f]) for f in mat_layout(model)])
+                "rho": mat.rho, "kappa": mat.kappa}
+    return jnp.stack([jnp.asarray(name_map[f])
+                      for f in mat_layout(model, compact)])
+
+
+def _stiff_label(model_dim: int, a: int, t: int) -> str:
+    """Voigt label of the stiffness that drives the (a, t) pair's speed."""
+    if a == t:
+        return f"{a + 1}{a + 1}"
+    if model_dim == 2:
+        return "66"
+    return {(1, 2): "44", (0, 2): "55", (0, 1): "66"}[(min(a, t), max(a, t))]
+
+
+def _zero_axis(zc) -> int:
+    """Spatial axis of a zero-invariant's diagonal stress component."""
+    from gcm_tpu.materials import _DIAG_AXIS_OF_COMP
+
+    return _DIAG_AXIS_OF_COMP[zc.comp]
+
+
+def ortho_mat_layout(model: Model) -> List[str]:
+    """Field names of the orthotropic stack: per-stiffness speeds
+    ``v<lbl> = sqrt(c_lbl/rho)``, ``rho``, and per-(sweep, zero) coupling
+    ratios ``k<a><b> = c_ab/c_aa``.  Impedances z<lbl> = rho*v<lbl> and
+    half-reciprocals r<lbl> are derived in-kernel (the kernel is DMA-bound,
+    so 13 streamed fields instead of 21+ is the winning trade)."""
+    speeds: List[str] = []
+    kaps: List[str] = []
+    for st in model.stages:
+        for p in st.pairs:
+            name = f"v{_stiff_label(model.dim, st.axis, p.traction_axis)}"
+            if name not in speeds:
+                speeds.append(name)
+        for zc in st.zeros:
+            name = f"k{st.axis}{_zero_axis(zc)}"
+            if name not in kaps:
+                kaps.append(name)
+    return speeds + ["rho"] + kaps
+
+
+def stack_mats_ortho(model: Model, mat) -> jnp.ndarray:
+    """Stack an OrthotropicMaterialFields into the fused-kernel layout."""
+    rho = jnp.asarray(mat.rho)
+    stiff = {"11": mat.c11, "22": mat.c22, "33": mat.c33,
+             "44": mat.c44, "55": mat.c55, "66": mat.c66}
+    diag = {0: mat.c11, 1: mat.c22, 2: mat.c33}
+    arrs = []
+    for name in ortho_mat_layout(model):
+        if name == "rho":
+            arrs.append(rho)
+        elif name.startswith("v"):
+            arrs.append(jnp.sqrt(jnp.asarray(stiff[name[1:]]) / rho))
+        else:  # k<a><b>
+            a, b = int(name[1]), int(name[2])
+            arrs.append(jnp.asarray(mat._offdiag(a, b))
+                        / jnp.asarray(diag[a]))
+    return jnp.stack([jnp.broadcast_to(x, rho.shape) for x in arrs])
+
+
+class OrthoKeys:
+    """Material-field naming of the orthotropic stack: per-stiffness speed
+    triples and per-(sweep, zero-axis) kappas."""
+
+    dim = 3
+
+    @classmethod
+    def pair(cls, axis: int, k: int, p) -> Tuple[str, str, str]:
+        lbl = _stiff_label(cls.dim, axis, p.traction_axis)
+        return f"v{lbl}", f"z{lbl}", f"r{lbl}"
+
+    @staticmethod
+    def zero(axis: int, j: int, zc) -> str:
+        return f"k{axis}{_zero_axis(zc)}"
+
+
+class OrthoKeys2D(OrthoKeys):
+    dim = 2
+
+
+def infer_layout(model: Model, nm: int) -> str:
+    """Which material layout a stack of height ``nm`` carries (the three
+    layouts have distinct heights for every supported model)."""
+    if nm == len(mat_layout(model)):
+        return "derived"
+    if nm == len(mat_layout(model, compact=True)):
+        return "compact"
+    if nm == len(ortho_mat_layout(model)):
+        return "ortho"
+    raise ValueError(f"no material layout of {model.name} has {nm} fields")
+
+
+def layout_names(model: Model, mode: str) -> List[str]:
+    if mode == "ortho":
+        return ortho_mat_layout(model)
+    return mat_layout(model, compact=(mode == "compact"))
+
+
+def layout_keys(model: Model, mode: str):
+    if mode == "ortho":
+        return OrthoKeys2D if model.dim == 2 else OrthoKeys
+    return IsoKeys
+
+
+def derive_window_mats(model: Model, mats: Dict[str, jnp.ndarray],
+                       mode: str) -> Dict[str, jnp.ndarray]:
+    """Expand a compact/ortho in-VMEM material window to the full per-sweep
+    dict by deriving impedances z = rho*c and half-reciprocals r = 0.5/z."""
+    if mode == "derived":
+        return mats
+    out = dict(mats)
+    rho = mats["rho"]
+
+    def add(ckey, zkey, rkey):
+        z = rho * mats[ckey]
+        out[zkey] = z
+        out[rkey] = jnp.where(z > 0, 0.5 / jnp.maximum(z, _Z_EPS), 0.0)
+
+    if mode == "compact":
+        for w in _model_waves(model):
+            add(f"c{w}", f"z{w}", f"r{w}")
+    else:  # ortho
+        for name in mats:
+            if name.startswith("v"):
+                add(name, f"z{name[1:]}", f"r{name[1:]}")
+    return out
 
 
 # ------------------------------------------------------------------ window math
@@ -135,6 +279,19 @@ def _bc_incoming(out, kind: str, value: float, sign, z, side: int):
     raise ValueError(kind)  # pragma: no cover
 
 
+class IsoKeys:
+    """Material-field naming of the isotropic layouts: one (c, z, r) triple
+    per wave family and a single kappa for every zero invariant."""
+
+    @staticmethod
+    def pair(axis: int, k: int, p) -> Tuple[str, str, str]:
+        return f"c{p.wave}", f"z{p.wave}", f"r{p.wave}"
+
+    @staticmethod
+    def zero(axis: int, j: int, zc) -> str:
+        return "kappa"
+
+
 def _sweep_window(
     model: Model,
     comps: List[jnp.ndarray],
@@ -145,6 +302,7 @@ def _sweep_window(
     borders: Optional[Borders],
     faces: Tuple,
     trim: bool,
+    keys=IsoKeys,
 ) -> Tuple[List[jnp.ndarray], Dict[str, jnp.ndarray]]:
     """One characteristic sweep over in-VMEM window arrays.
 
@@ -152,7 +310,9 @@ def _sweep_window(
     of the same extents.  ``trim=True`` consumes an r-cell halo along
     ``axis`` (output extent shrinks by 2r); ``trim=False`` keeps the full
     extent and edge-pads in-VMEM (the lane-axis sweep).  ``faces`` are
-    traced (is_low_face, is_high_face) booleans of this tile.
+    traced (is_low_face, is_high_face) booleans of this tile.  ``keys``
+    maps (axis, pair/zero) to material field names — IsoKeys for isotropic
+    stacks, OrthoKeys for the axis-dependent orthotropic stack.
     """
     st = model.stage(axis)
     sign = model.sign
@@ -174,12 +334,13 @@ def _sweep_window(
 
         region = lambda f: f
 
-    # per-wave Courant weights at the target nodes
-    wts_by_wave = {}
-    for p in st.pairs:
-        if p.wave not in wts_by_wave:
-            nu = region(mats[f"c{p.wave}"]) * dt_over_h
-            wts_by_wave[p.wave] = stencil_weights(order, nu)
+    # per-speed-field Courant weights at the target nodes
+    wts_by_ckey = {}
+    for k, p in enumerate(st.pairs):
+        ckey = keys.pair(axis, k, p)[0]
+        if ckey not in wts_by_ckey:
+            nu = region(mats[ckey]) * dt_over_h
+            wts_by_ckey[ckey] = stencil_weights(order, nu)
     offs_p = stencil_offsets(order, +1)
     offs_m = stencil_offsets(order, -1)
 
@@ -191,11 +352,12 @@ def _sweep_window(
         return out
 
     new: Dict[int, jnp.ndarray] = {}
-    for p in st.pairs:
+    for k, p in enumerate(st.pairs):
+        ckey, zkey, rkey = keys.pair(axis, k, p)
         A_pad = pad(comps[p.sigma])
         B_pad = pad(comps[p.vel])
-        wts = wts_by_wave[p.wave]
-        z = region(mats[f"z{p.wave}"])
+        wts = wts_by_ckey[ckey]
+        z = region(mats[zkey])
         szb = sign * z
         w_l = interp(A_pad, offs_p, wts) + szb * interp(B_pad, offs_p, wts)
         w_r = interp(A_pad, offs_m, wts) - szb * interp(B_pad, offs_m, wts)
@@ -219,13 +381,13 @@ def _sweep_window(
 
         A_new = 0.5 * (w_l + w_r)
         B_old = region(comps[p.vel])
-        rz = region(mats[f"r{p.wave}"])  # 0.5/z, 0 where z == 0
+        rz = region(mats[rkey])  # 0.5/z, 0 where z == 0
         B_prop = sign * (w_l - w_r) * rz
         new[p.sigma] = A_new
         new[p.vel] = jnp.where(z > 0, B_prop, B_old)
 
-    for zc in st.zeros:
-        kap = region(mats["kappa"])
+    for j, zc in enumerate(st.zeros):
+        kap = region(mats[keys.zero(axis, j, zc)])
         d_src = new[zc.src] - region(comps[zc.src])
         new[zc.comp] = region(comps[zc.comp]) + kap * d_src
 
@@ -243,7 +405,9 @@ def _make_fused_kernel(model: Model, order: int, dtohs: Sequence[float],
     C = model.ncomp
     r = stencil_radius(order)
     X, Y = bx + 2 * r, by + 2 * r
-    mat_names = mat_layout(model)
+    mode = infer_layout(model, nm)
+    mat_names = layout_names(model, mode)
+    keys = layout_keys(model, mode)
     # DMA decomposition: 3x3 clamped segments (x-halo/center, y-halo/center).
     # Destination offsets are static; source offsets are clamped so edge
     # tiles read in-bounds-but-wrong rows, patched to edge replication below.
@@ -348,7 +512,8 @@ def _make_fused_kernel(model: Model, order: int, dtohs: Sequence[float],
         Wu = uwin[slot]
         Wm = mwin[slot]
         comps = [Wu[c] for c in range(C)]
-        mats = {mat_names[k]: Wm[k] for k in range(nm)}
+        mats = derive_window_mats(
+            model, {mat_names[k]: Wm[k] for k in range(nm)}, mode)
 
         faces_by_axis = {
             0: (lo_x, hi_x),
@@ -358,13 +523,349 @@ def _make_fused_kernel(model: Model, order: int, dtohs: Sequence[float],
         for a in axes:
             comps, mats = _sweep_window(
                 model, comps, mats, a, order, dtohs[a], borders,
-                faces_by_axis[a], trim=(a != 2),
+                faces_by_axis[a], trim=(a != 2), keys=keys,
             )
 
         for c in range(C):
             out_ref[c] = comps[c]
 
     return kernel, X, Y
+
+
+# ----------------------------------------------------------------- slab kernel
+
+def _make_slab_kernel(model: Model, order: int, dtohs: Sequence[float],
+                      borders: Optional[Borders], axes: Tuple[int, ...],
+                      bx: int, nx: int, ny: int, nz: int,
+                      nm: int, ntx: int):
+    """Full-y slab variant of the fused kernel: grid over x only.
+
+    Measured motivation (round 2, v5e): the (bx, by) window kernel is DMA-
+    bound at ~43% of HBM peak because every window row is a 512 B strided
+    burst. Tiling only x makes each DMA segment a CONTIGUOUS
+    ``(bx+2r) * ny * nz`` run per field (multi-MB bursts): 3 clamped
+    x-segments replace the 3x3 window decomposition. The y sweep switches
+    to the in-VMEM edge-pad form (full y extent per tile — tile edges ARE
+    domain edges), like the z sweep always did.
+    """
+    C = model.ncomp
+    r = stencil_radius(order)
+    X = bx + 2 * r
+    mode = infer_layout(model, nm)
+    mat_names = layout_names(model, mode)
+    keys = layout_keys(model, mode)
+    segs = [0, 1, 2] if r > 0 else [1]
+
+    def _src_x(i, sx):
+        if sx == 0:
+            return jnp.clip(i * bx - r, 0, nx - r), r
+        if sx == 1:
+            return i * bx, bx
+        return jnp.clip((i + 1) * bx, 0, nx - r), r
+
+    _dst_x = {0: 0, 1: r, 2: r + bx}
+
+    def kernel(u_hbm, m_hbm, out_ref, uwin, mwin, sem_u, sem_m):
+        t = pl.program_id(0)
+        slot, nslot = t % 2, (t + 1) % 2
+
+        def dmas(slot_, i_):
+            ops = []
+            for k, sx in enumerate(segs):
+                ox, lx = _src_x(i_, sx)
+                dx = _dst_x[sx]
+                ops.append(pltpu.make_async_copy(
+                    u_hbm.at[:, pl.ds(ox, lx), :, :],
+                    uwin.at[slot_, :, pl.ds(dx, lx), :, :],
+                    sem_u.at[slot_, k]))
+                ops.append(pltpu.make_async_copy(
+                    m_hbm.at[:, pl.ds(ox, lx), :, :],
+                    mwin.at[slot_, :, pl.ds(dx, lx), :, :],
+                    sem_m.at[slot_, k]))
+            return ops
+
+        @pl.when(t == 0)
+        def _():
+            for op in dmas(slot, t):
+                op.start()
+
+        @pl.when(t + 1 < ntx)
+        def _():
+            for op in dmas(nslot, t + 1):
+                op.start()
+
+        for op in dmas(slot, t):
+            op.wait()
+
+        lo_x, hi_x = t == 0, t == ntx - 1
+        if r > 0:
+            # patch the clamped x-halo rows to edge replication at domain
+            # faces (state AND materials — jnp edge_pad semantics)
+            def _patch(win, nw):
+                @pl.when(lo_x)
+                def _():
+                    win[slot, :, pl.ds(0, r)] = jnp.broadcast_to(
+                        win[slot, :, pl.ds(r, 1)], (nw, r, ny, nz))
+
+                @pl.when(hi_x)
+                def _():
+                    win[slot, :, pl.ds(X - r, r)] = jnp.broadcast_to(
+                        win[slot, :, pl.ds(X - r - 1, 1)], (nw, r, ny, nz))
+
+            _patch(uwin, C)
+            _patch(mwin, nm)
+
+        comps = [uwin[slot, c] for c in range(C)]
+        mats = derive_window_mats(
+            model, {mat_names[k]: mwin[slot, k] for k in range(nm)}, mode)
+        faces_by_axis = {0: (lo_x, hi_x), 1: (True, True), 2: (True, True)}
+        for a in axes:
+            comps, mats = _sweep_window(
+                model, comps, mats, a, order, dtohs[a], borders,
+                faces_by_axis[a], trim=(a == 0), keys=keys)
+        for c in range(C):
+            out_ref[c] = comps[c]
+
+    return kernel, X
+
+
+def fused_step_slab(
+    model: Model,
+    u: jnp.ndarray,
+    mstack: jnp.ndarray,
+    dt: float,
+    h: Sequence[float],
+    order: int,
+    borders: Optional[Borders] = None,
+    axes: Optional[Sequence[int]] = None,
+    bx: int = 4,
+    interpret: bool = False,
+    vmem_budget: int = 96 * 1024 * 1024,
+) -> jnp.ndarray:
+    """Full 3D step via the slab-tiled fused kernel (contiguous DMA runs).
+
+    Same contract as :func:`fused_step`; prefer this when ``ny*nz`` slabs
+    fit VMEM (the usual case) — it is DMA-bandwidth-optimal.
+    """
+    if u.ndim != 4 or model.dim != 3:
+        raise ValueError("fused_step_slab supports 3D grids only")
+    axes = tuple(axes) if axes is not None else (0, 1, 2)
+    if axes not in ((0, 1, 2), (2, 1, 0)):
+        raise ValueError(f"unsupported axes order {axes}")
+    C, nx, ny, nz = u.shape
+    nm = mstack.shape[0]
+    r = stencil_radius(order)
+    esz = u.dtype.itemsize
+
+    def vmem_need(bx_):
+        X_ = bx_ + 2 * r
+        win = 2 * (C + nm) * X_ * ny * nz * esz
+        out = 2 * C * bx_ * ny * nz * esz
+        tmp = 8 * X_ * ny * nz * esz
+        return win + out + tmp
+
+    bx = _pick_tile(nx, bx, 1)
+    while bx > 1 and vmem_need(bx) > vmem_budget:
+        bx = _pick_tile(nx, bx - 1, 1)
+    if vmem_need(bx) > vmem_budget:
+        raise ValueError(
+            f"slab kernel needs {vmem_need(bx)/1e6:.0f} MB VMEM at bx={bx} "
+            f"for ny={ny}, nz={nz} — use fused_step (windowed) instead")
+    ntx = nx // bx
+    dtohs = [float(dt / h[a]) for a in range(3)]
+    kernel, X = _make_slab_kernel(
+        model, order, dtohs, borders, axes, bx, nx, ny, nz, nm, ntx)
+
+    nsegs = 3 if r > 0 else 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((C, bx, ny, nz), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nx, ny, nz), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, X, ny, nz), u.dtype),
+            pltpu.VMEM((2, nm, X, ny, nz), u.dtype),
+            pltpu.SemaphoreType.DMA((2, nsegs)),
+            pltpu.SemaphoreType.DMA((2, nsegs)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        **({"interpret": True} if interpret else {}),
+    )(u, mstack)
+    return out
+
+
+# ------------------------------------------------------------------ 2D kernel
+
+def _make_2d_kernel(model: Model, order: int, dtohs: Sequence[float],
+                    borders: Optional[Borders], axes: Tuple[int, ...],
+                    bx: int, nx: int, ny: int, nm: int, ntx: int):
+    """2D fused full-step kernel: x tiled with halo segments, y is the
+    lane axis (in-VMEM edge pad) — the 2D analogue of the slab kernel.
+    Takes 2D scenarios off the per-sweep-kernel fallback (round-1 verdict
+    weak #6).
+
+    Rank-3 HBM refs are (8,128)-tiled on the LAST TWO dims, so Mosaic
+    requires x-slices to be 8-row aligned: the halo segments load a full
+    8-row block (H=8 >= r), and the sweeps consume a functional
+    ``W[:, H-r : H+bx+r]`` slice of the window with jnp edge patching at
+    domain faces (no in-place ref writes needed).
+    """
+    C = model.ncomp
+    r = stencil_radius(order)
+    H = 8                       # aligned halo block (sublane tiling)
+    X = bx + 2 * H
+    mode = infer_layout(model, nm)
+    mat_names = layout_names(model, mode)
+    keys = layout_keys(model, mode)
+    segs = [0, 1, 2] if r > 0 else [1]
+
+    bh = bx // H
+
+    def _src_x(i, sx):
+        # offsets written as (int)*H so Mosaic can PROVE 8-divisibility
+        if sx == 0:
+            return jnp.clip(i * bh - 1, 0, nx // H - 1) * H, H
+        if sx == 1:
+            return (i * bh) * H, bx
+        return jnp.clip((i + 1) * bh, 0, nx // H - 1) * H, H
+
+    _dst_x = {0: 0, 1: H, 2: H + bx}
+
+    def kernel(u_hbm, m_hbm, out_ref, uwin, mwin, sem_u, sem_m):
+        t = pl.program_id(0)
+        slot, nslot = t % 2, (t + 1) % 2
+
+        def dmas(slot_, i_):
+            ops = []
+            for k, sx in enumerate(segs):
+                ox, lx = _src_x(i_, sx)
+                dx = _dst_x[sx]
+                ops.append(pltpu.make_async_copy(
+                    u_hbm.at[:, pl.ds(ox, lx), :],
+                    uwin.at[slot_, :, pl.ds(dx, lx), :],
+                    sem_u.at[slot_, k]))
+                ops.append(pltpu.make_async_copy(
+                    m_hbm.at[:, pl.ds(ox, lx), :],
+                    mwin.at[slot_, :, pl.ds(dx, lx), :],
+                    sem_m.at[slot_, k]))
+            return ops
+
+        @pl.when(t == 0)
+        def _():
+            for op in dmas(slot, t):
+                op.start()
+
+        @pl.when(t + 1 < ntx)
+        def _():
+            for op in dmas(nslot, t + 1):
+                op.start()
+
+        for op in dmas(slot, t):
+            op.wait()
+
+        lo_x, hi_x = t == 0, t == ntx - 1
+        Wu = uwin[slot, :, H - r:H + bx + r]
+        Wm = mwin[slot, :, H - r:H + bx + r]
+        if r > 0:
+            # functional edge replication of the r halo rows at domain
+            # faces (clamped loads put in-bounds-but-wrong rows there)
+            Wu = _patch_dim(Wu, 1, r, lo_x, hi_x)
+            Wm = _patch_dim(Wm, 1, r, lo_x, hi_x)
+
+        comps = [Wu[c] for c in range(C)]
+        mats = derive_window_mats(
+            model, {mat_names[k]: Wm[k] for k in range(nm)}, mode)
+        faces_by_axis = {0: (lo_x, hi_x), 1: (True, True)}
+        for a in axes:
+            comps, mats = _sweep_window(
+                model, comps, mats, a, order, dtohs[a], borders,
+                faces_by_axis[a], trim=(a == 0), keys=keys)
+        for c in range(C):
+            out_ref[c] = comps[c]
+
+    return kernel, X
+
+
+def fused_step_2d(
+    model: Model,
+    u: jnp.ndarray,
+    mstack: jnp.ndarray,
+    dt: float,
+    h: Sequence[float],
+    order: int,
+    borders: Optional[Borders] = None,
+    axes: Optional[Sequence[int]] = None,
+    bx: int = 128,
+    interpret: bool = False,
+    vmem_budget: int = 64 * 1024 * 1024,
+) -> jnp.ndarray:
+    """One full 2D time step as a single fused Pallas kernel.
+
+    Same contract as :func:`fused_step` for ``model.dim == 2``: ``mstack``
+    from ``stack_mats`` (isotropic, optionally compact) or
+    ``stack_mats_ortho``.
+    """
+    if u.ndim != 3 or model.dim != 2:
+        raise ValueError("fused_step_2d supports 2D grids only")
+    axes = tuple(axes) if axes is not None else (0, 1)
+    if axes not in ((0, 1), (1, 0)):
+        raise ValueError(f"unsupported axes order {axes}")
+    C, nx, ny = u.shape
+    nm = mstack.shape[0]
+    r = stencil_radius(order)
+    esz = u.dtype.itemsize
+    if nx % 8:
+        # rank-3 HBM refs are (8,128)-tiled on (x, y): halo segment loads
+        # must be 8-row aligned (see _make_2d_kernel)
+        raise ValueError(f"fused_step_2d needs nx % 8 == 0, got {nx}")
+
+    def vmem_need(bx_):
+        X_ = bx_ + 16
+        return (2 * (C + nm) * X_ * ny + 2 * C * bx_ * ny
+                + 10 * X_ * ny) * esz
+
+    bx = _pick_tile(nx, bx, 8)
+    while bx > 8 and vmem_need(bx) > vmem_budget:
+        bx = _pick_tile(nx, bx - 8, 8)
+    if bx % 8 or vmem_need(bx) > vmem_budget:
+        raise ValueError(
+            f"fused_step_2d: no 8-aligned x-tile of nx={nx} fits "
+            f"{vmem_budget/1e6:.0f} MB VMEM at ny={ny}")
+    ntx = nx // bx
+    dtohs = [float(dt / h[a]) for a in range(2)]
+    kernel, X = _make_2d_kernel(
+        model, order, dtohs, borders, axes, bx, nx, ny, nm, ntx)
+
+    nsegs = 3 if r > 0 else 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((C, bx, ny), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nx, ny), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, X, ny), u.dtype),
+            pltpu.VMEM((2, nm, X, ny), u.dtype),
+            pltpu.SemaphoreType.DMA((2, nsegs)),
+            pltpu.SemaphoreType.DMA((2, nsegs)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        **({"interpret": True} if interpret else {}),
+    )(u, mstack)
+    return out
 
 
 def _pick_tile(n: int, want: int, mult: int) -> int:
@@ -387,10 +888,10 @@ def fused_step(
     order: int,
     borders: Optional[Borders] = None,
     axes: Optional[Sequence[int]] = None,
-    bx: int = 16,
-    by: int = 32,
+    bx: int = 32,
+    by: int = 64,
     interpret: bool = False,
-    vmem_budget: int = 11 * 1024 * 1024,
+    vmem_budget: int = 64 * 1024 * 1024,
 ) -> jnp.ndarray:
     """One full 3D time step as a single fused Pallas kernel.
 

@@ -35,8 +35,9 @@ One full step consumes an r-cell halo per sharded axis (r = stencil
 radius): every sweep of the step is recomputed from the pre-step state
 inside the window, exactly like the single-chip fused kernel.
 
-Scope: 3D isotropic models, f32, orders 1..4, axes (0,1,2)/(2,1,0); the
-last (lane) spatial axis is never sharded (gcm_tpu.parallel.sharding).
+Scope: 3D models, isotropic or orthotropic media (layout inferred from the
+material-stack height), f32, orders 1..4, axes (0,1,2)/(2,1,0); the last
+(lane) spatial axis is never sharded (gcm_tpu.parallel.sharding).
 """
 
 from __future__ import annotations
@@ -58,7 +59,10 @@ from gcm_tpu.ops.interp import stencil_radius
 from gcm_tpu.ops.pallas_fused import (
     _pick_tile,
     _sweep_window,
-    mat_layout,
+    derive_window_mats,
+    infer_layout,
+    layout_keys,
+    layout_names,
     stack_mats,
 )
 from gcm_tpu.task import BorderSpec
@@ -70,7 +74,7 @@ Borders = Dict[Tuple[int, int], BorderSpec]
 
 def extended_mstack(
     model: Model,
-    mat: MaterialFields,
+    mat,
     mesh: Mesh,
     order: int,
     dtype=jnp.float32,
@@ -81,9 +85,17 @@ def extended_mstack(
     — each shard's materials plus an r-deep ring of neighbor (or, at domain
     faces, edge-replicated) materials.  The per-step state exchange then
     never needs to touch materials (fixes VERDICT round-1 weak #3).
+    Isotropic media use the compact layout; orthotropic media the
+    per-stiffness layout — the kernels infer either from the stack height.
     """
     r = stencil_radius(order)
-    ms = np.asarray(jax.device_get(stack_mats(model, mat)), dtype=np.float64)
+    if isinstance(mat, MaterialFields):
+        stacked = stack_mats(model, mat, compact=True)
+    else:  # orthotropic
+        from gcm_tpu.ops.pallas_fused import stack_mats_ortho
+
+        stacked = stack_mats_ortho(model, mat)
+    ms = np.asarray(jax.device_get(stacked), dtype=np.float64)
     nm, nx, ny, nz = ms.shape
     nsx = mesh.shape.get("sx", 1)
     nsy = mesh.shape.get("sy", 1)
@@ -218,7 +230,9 @@ def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
     X, Y = bx + 2 * r, by + 2 * r
     ntx, nty = nxl // bx, nyl // by
     ngx, ngy = ntx - 2, nty - 2
-    mat_names = mat_layout(model)
+    mode = infer_layout(model, nm)
+    mat_names = layout_names(model, mode)
+    keys = layout_keys(model, mode)
 
     def kernel(u_hbm, m_hbm, out_ref, uwin, mwin, sem_u, sem_m):
         i = pl.program_id(0) + 1
@@ -251,12 +265,13 @@ def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
             op.wait()
 
         comps = [uwin[slot, c] for c in range(C)]
-        mats = {mat_names[k]: mwin[slot, k] for k in range(nm)}
+        mats = derive_window_mats(
+            model, {mat_names[k]: mwin[slot, k] for k in range(nm)}, mode)
         faces = {0: (False, False), 1: (False, False), 2: (True, True)}
         for a in axes:
             comps, mats = _sweep_window(
                 model, comps, mats, a, order, dtohs[a], borders_z,
-                faces[a], trim=(a != 2))
+                faces[a], trim=(a != 2), keys=keys)
         for c in range(C):
             out_ref[c] = comps[c]
 
@@ -289,7 +304,9 @@ def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
     X, Y = bx + 2 * r, by + 2 * r
     ntx, nty = nxl // bx, nyl // by
     nring, rix, riy = _ring_maps(ntx, nty)
-    mat_names = mat_layout(model)
+    mode = infer_layout(model, nm)
+    mat_names = layout_names(model, mode)
+    keys = layout_keys(model, mode)
 
     def kernel(u_hbm, m_hbm, xlo, xhi, ylo, yhi, flags, base, out_ref,
                uwin, mwin, sem_u, sem_m):
@@ -394,7 +411,8 @@ def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
 
         i, j = rix(k), riy(k)
         comps = [uwin[slot, c] for c in range(C)]
-        mats = {mat_names[m]: mwin[slot, m] for m in range(nm)}
+        mats = derive_window_mats(
+            model, {mat_names[m]: mwin[slot, m] for m in range(nm)}, mode)
         faces = {
             0: ((i == 0) & (flags[0] == 1), (i == ntx - 1) & (flags[1] == 1)),
             1: ((j == 0) & (flags[2] == 1), (j == nty - 1) & (flags[3] == 1)),
@@ -403,7 +421,7 @@ def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
         for a in axes:
             comps, mats = _sweep_window(
                 model, comps, mats, a, order, dtohs[a], borders,
-                faces[a], trim=(a != 2))
+                faces[a], trim=(a != 2), keys=keys)
         for c in range(C):
             out_ref[c] = comps[c]
 

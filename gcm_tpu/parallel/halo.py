@@ -71,6 +71,72 @@ def _crop(f: jnp.ndarray, ax: int, r: int):
     return lax.slice_in_dim(f, r, f.shape[ax] - r, axis=ax)
 
 
+def make_spmd_raw_stage(
+    model: Model,
+    mesh: Mesh,
+    dt: float,
+    h: Sequence[float],
+    order: int,
+    use_pallas: bool = True,
+    pallas_cx: int = 64,
+):
+    """Border-free single-sweep shard_map kernel: ``stage(u, mat, axis)``.
+
+    The raw building block for post-fixup compositions (multi-body fast
+    path: raw sweeps here, borders/contacts as GSPMD slab fixups outside).
+    """
+    dim = model.dim
+    r = stencil_radius(order)
+    axis_names = mesh.axis_names
+    spatial_names: Dict[int, Optional[str]] = {a: None for a in range(dim)}
+    spatial_names[0] = "sx"
+    if dim >= 3 and "sy" in axis_names:
+        spatial_names[1] = "sy"
+
+    if use_pallas:
+        from gcm_tpu.ops.pallas_stage import pallas_stage as _pstage
+
+        def raw(u, mat, axis):
+            return _pstage(model, u, mat, dt, h, axis, order, None,
+                           cx=pallas_cx)
+    else:
+        def raw(u, mat, axis):
+            return jnp_stage(model, u, mat, dt, h, axis, order, None)
+
+    def local_stage(u, mat, axis):
+        name = spatial_names.get(axis)
+        if name is None:
+            return raw(u, mat, axis)
+        u_ext = halo_exchange(u, name, axis + 1, r)
+        mat_ext = jax.tree.map(
+            lambda a: halo_exchange(a, name, axis, r), mat)
+        return _crop(raw(u_ext, mat_ext, axis), axis + 1, r)
+
+    spatial_spec = [None] * dim
+    spatial_spec[0] = "sx"
+    if dim >= 3 and "sy" in axis_names:
+        spatial_spec[1] = "sy"
+    u_spec = P(None, *spatial_spec)
+    m_spec = P(*spatial_spec)
+
+    _cache: Dict[int, object] = {}
+
+    def stage(u, mat, axis: int):
+        fn = _cache.get(axis)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                partial(local_stage, axis=axis),
+                mesh=mesh,
+                in_specs=(u_spec, jax.tree.map(lambda _: m_spec, mat)),
+                out_specs=u_spec,
+                check_vma=False,
+            ))
+            _cache[axis] = fn
+        return fn(u, mat)
+
+    return stage
+
+
 def make_spmd_step(
     model: Model,
     mesh: Mesh,

@@ -117,6 +117,72 @@ def _adhesion(a, b, z_a, z_b):
     return s_star + z_a * v_star, s_star - z_b * v_star, s_star
 
 
+def _pair_incoming(
+    spec: ContactSpec,
+    is_normal: bool,
+    out_a, out_b, z_a, z_b,
+    glue,
+    sigma_c,
+):
+    """Incoming invariants of one pair from the outgoing ones — all kind
+    (bonded/slip/friction), fracture and unilateral logic in one place.
+    ``sigma_c`` is the contact compression from the normal solve (consumed
+    by tangential friction pairs). Returns (in_a, in_b, sigma*)."""
+    in_a_glued, in_b_glued, s_star = _adhesion(out_a, out_b, z_a, z_b)
+    in_a_free = -out_a
+    in_b_free = -out_b
+
+    # intact behavior by kind
+    if spec.kind == "bonded":
+        intact_a, intact_b = in_a_glued, in_b_glued
+    elif spec.kind == "slip":
+        if is_normal:
+            intact_a, intact_b = in_a_glued, in_b_glued
+        else:
+            intact_a, intact_b = in_a_free, in_b_free
+    else:  # friction
+        if is_normal:
+            closed = s_star < 0.0
+            intact_a = jnp.where(closed, in_a_glued, in_a_free)
+            intact_b = jnp.where(closed, in_b_glued, in_b_free)
+        else:
+            # Coulomb: stick while |tau*| <= mu*sigma_c, else slide at
+            # the capped traction (prescribed equal traction both sides)
+            cap = spec.friction_mu * sigma_c
+            stick = jnp.abs(s_star) <= cap
+            tau_c = jnp.sign(s_star) * cap
+            in_a_slide = 2.0 * tau_c - out_a
+            in_b_slide = 2.0 * tau_c - out_b
+            intact_a = jnp.where(stick, in_a_glued, in_a_slide)
+            intact_b = jnp.where(stick, in_b_glued, in_b_slide)
+
+    if glue is None:
+        return intact_a, intact_b, s_star
+    # broken behavior: 'free' cracks are traction-free; 'slip' cracks
+    # still transmit compression on the normal pair
+    if spec.broken_kind == "slip" and is_normal:
+        closed = s_star < 0.0
+        broken_a = jnp.where(closed, in_a_glued, in_a_free)
+        broken_b = jnp.where(closed, in_b_glued, in_b_free)
+    else:
+        broken_a, broken_b = in_a_free, in_b_free
+    return (jnp.where(glue, intact_a, broken_a),
+            jnp.where(glue, intact_b, broken_b), s_star)
+
+
+def _split_normal(pairs: Dict[int, tuple], ax: int):
+    keys = sorted(pairs)
+    normal = [k for k in keys if pairs[k][2].traction_axis == ax]
+    return normal + [k for k in keys if k not in normal]
+
+
+def _fracture(spec: ContactSpec, bonded, s_star_n):
+    if bonded is None or s_star_n is None or spec.tensile_strength is None:
+        return bonded
+    still = (s_star_n <= spec.tensile_strength).astype(bonded.dtype)
+    return bonded * still
+
+
 def apply_contact(
     spec: ContactSpec,
     dim: int,
@@ -138,80 +204,102 @@ def apply_contact(
     idx_a = face_sub_index(ax, 1, dim, spec.lo_a, spec.span)
     idx_b = face_sub_index(ax, 0, dim, spec.lo_b, spec.span)
 
-    keys = sorted(pairs_a)
-    normal_k = [k for k in keys if pairs_a[k][2].traction_axis == ax]
-    tangential_k = [k for k in keys if k not in normal_k]
+    glue = (bonded > 0.5) if bonded is not None else None
+    s_star_n = None
+    sigma_c = None
+    order_ks = _split_normal(pairs_a, ax)
+
+    for k in order_ks:
+        is_normal = pairs_a[k][2].traction_axis == ax
+        w_l_a, w_r_a, p = pairs_a[k]
+        w_l_b, w_r_b, pb = pairs_b[k]
+        in_a, in_b, s_star = _pair_incoming(
+            spec, is_normal,
+            w_r_a[idx_a], w_l_b[idx_b],
+            view_a.pair_z[k][idx_a], view_b.pair_z[k][idx_b],
+            glue, sigma_c)
+        if is_normal:
+            s_star_n = s_star
+            sigma_c = jnp.maximum(-s_star, 0.0)
+        pairs_a[k] = (w_l_a.at[idx_a].set(in_a), w_r_a, p)
+        pairs_b[k] = (w_l_b, w_r_b.at[idx_b].set(in_b), pb)
+
+    return pairs_a, pairs_b, _fracture(spec, bonded, s_star_n)
+
+
+def apply_contact_post(
+    spec: ContactSpec,
+    model,
+    u_old_a: jnp.ndarray,
+    u_a: jnp.ndarray,
+    u_old_b: jnp.ndarray,
+    u_b: jnp.ndarray,
+    view_a,
+    view_b,
+    bonded: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Contact solve as a post-fixup on raw (border/contact-free) sweeps.
+
+    The pair reconstruction is invertible, so the interface condition can
+    be applied after the sweep from the face slabs alone — the composition
+    point that lets the multi-body engine run each body's sweep through the
+    fused Pallas kernels and stitch contacts with cheap slab math (mirrors
+    solver.boundary.apply_borders_post). ``u_old_*`` are the pre-sweep
+    states (needed to re-propagate the zero-speed invariants at the face).
+    """
+    ax = spec.axis
+    dim = model.dim
+    st = model.stage(ax)
+    sign = model.sign
+    idx_a = face_sub_index(ax, 1, dim, spec.lo_a, spec.span)
+    idx_b = face_sub_index(ax, 0, dim, spec.lo_b, spec.span)
 
     glue = (bonded > 0.5) if bonded is not None else None
     s_star_n = None
     sigma_c = None
+    sigma_fixed_a: Dict[int, jnp.ndarray] = {}
+    sigma_fixed_b: Dict[int, jnp.ndarray] = {}
+    pairs = {k: (None, None, p) for k, p in enumerate(st.pairs)}
 
-    def solve_pair(k, is_normal):
-        nonlocal s_star_n, sigma_c
-        w_l_a, w_r_a, p = pairs_a[k]
-        w_l_b, w_r_b, pb = pairs_b[k]
+    for k in _split_normal(pairs, ax):
+        p = st.pairs[k]
+        is_normal = p.traction_axis == ax
         z_a = view_a.pair_z[k][idx_a]
         z_b = view_b.pair_z[k][idx_b]
-        out_a = w_r_a[idx_a]        # outgoing at body_a's high face
-        out_b = w_l_b[idx_b]        # outgoing at body_b's low face
-
-        in_a_glued, in_b_glued, s_star = _adhesion(out_a, out_b, z_a, z_b)
-        in_a_free = -out_a
-        in_b_free = -out_b
-
+        A_a, B_a = u_a[p.sigma][idx_a], u_a[p.vel][idx_a]
+        A_b, B_b = u_b[p.sigma][idx_b], u_b[p.vel][idx_b]
+        out_a = A_a - sign * z_a * B_a      # w_R at body_a's high face
+        out_b = A_b + sign * z_b * B_b      # w_L at body_b's low face
+        in_a, in_b, s_star = _pair_incoming(
+            spec, is_normal, out_a, out_b, z_a, z_b, glue, sigma_c)
         if is_normal:
             s_star_n = s_star
             sigma_c = jnp.maximum(-s_star, 0.0)
+        A_a2 = 0.5 * (in_a + out_a)
+        B_a2 = jnp.where(z_a > 0,
+                         sign * (in_a - out_a)
+                         / (2.0 * jnp.maximum(z_a, 1e-30)), B_a)
+        A_b2 = 0.5 * (out_b + in_b)
+        B_b2 = jnp.where(z_b > 0,
+                         sign * (out_b - in_b)
+                         / (2.0 * jnp.maximum(z_b, 1e-30)), B_b)
+        u_a = u_a.at[(p.sigma,) + idx_a].set(A_a2)
+        u_a = u_a.at[(p.vel,) + idx_a].set(B_a2)
+        u_b = u_b.at[(p.sigma,) + idx_b].set(A_b2)
+        u_b = u_b.at[(p.vel,) + idx_b].set(B_b2)
+        sigma_fixed_a[p.sigma] = A_a2
+        sigma_fixed_b[p.sigma] = A_b2
 
-        # intact behavior by kind
-        if spec.kind == "bonded":
-            intact_a, intact_b = in_a_glued, in_b_glued
-        elif spec.kind == "slip":
-            if is_normal:
-                intact_a, intact_b = in_a_glued, in_b_glued
-            else:
-                intact_a, intact_b = in_a_free, in_b_free
-        else:  # friction
-            if is_normal:
-                closed = s_star < 0.0
-                intact_a = jnp.where(closed, in_a_glued, in_a_free)
-                intact_b = jnp.where(closed, in_b_glued, in_b_free)
-            else:
-                # Coulomb: stick while |tau*| <= mu*sigma_c, else slide at
-                # the capped traction (prescribed equal traction both sides)
-                cap = spec.friction_mu * sigma_c
-                stick = jnp.abs(s_star) <= cap
-                tau_c = jnp.sign(s_star) * cap
-                in_a_slide = 2.0 * tau_c - out_a
-                in_b_slide = 2.0 * tau_c - out_b
-                intact_a = jnp.where(stick, in_a_glued, in_a_slide)
-                intact_b = jnp.where(stick, in_b_glued, in_b_slide)
+    # re-propagate the zero-speed invariants at the fixed face slabs
+    for j, zc in enumerate(st.zeros):
+        if zc.src in sigma_fixed_a:
+            kap_a = view_a.zero_kappa[j][idx_a]
+            z_new = u_old_a[zc.comp][idx_a] + kap_a * (
+                sigma_fixed_a[zc.src] - u_old_a[zc.src][idx_a])
+            u_a = u_a.at[(zc.comp,) + idx_a].set(z_new)
+            kap_b = view_b.zero_kappa[j][idx_b]
+            z_new = u_old_b[zc.comp][idx_b] + kap_b * (
+                sigma_fixed_b[zc.src] - u_old_b[zc.src][idx_b])
+            u_b = u_b.at[(zc.comp,) + idx_b].set(z_new)
 
-        if glue is None:
-            in_a, in_b = intact_a, intact_b
-        else:
-            # broken behavior: 'free' cracks are traction-free; 'slip'
-            # cracks still transmit compression on the normal pair
-            if spec.broken_kind == "slip" and is_normal:
-                closed = s_star < 0.0
-                broken_a = jnp.where(closed, in_a_glued, in_a_free)
-                broken_b = jnp.where(closed, in_b_glued, in_b_free)
-            else:
-                broken_a, broken_b = in_a_free, in_b_free
-            in_a = jnp.where(glue, intact_a, broken_a)
-            in_b = jnp.where(glue, intact_b, broken_b)
-
-        pairs_a[k] = (w_l_a.at[idx_a].set(in_a), w_r_a, p)
-        pairs_b[k] = (w_l_b, w_r_b.at[idx_b].set(in_b), pb)
-
-    for k in normal_k:
-        solve_pair(k, True)
-    for k in tangential_k:
-        solve_pair(k, False)
-
-    new_bonded = bonded
-    if bonded is not None and s_star_n is not None \
-            and spec.tensile_strength is not None:
-        still = (s_star_n <= spec.tensile_strength).astype(bonded.dtype)
-        new_bonded = bonded * still
-    return pairs_a, pairs_b, new_bonded
+    return u_a, u_b, _fracture(spec, bonded, s_star_n)

@@ -11,7 +11,7 @@ reaches the jitted step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -76,14 +76,29 @@ class GridSpec:
 class Area:
     """A spatial region; rasterizes to a node mask on a structured grid
     (``mask``) or on an arbitrary point cloud (``contains`` — used for
-    simplex-mesh node selection, e.g. per-area border conditions)."""
+    simplex-mesh node selection, e.g. per-area border conditions).
+
+    Subclasses implement ``contains``; ``mask`` has a generic default
+    (rasterize the grid's nodes through ``contains``). Combine areas with
+    ``|`` (union), ``&`` (intersection) and ``~`` (complement).
+    """
 
     def mask(self, grid: GridSpec) -> np.ndarray:
-        raise NotImplementedError
+        pts = np.stack([g.ravel() for g in grid.meshgrid()], axis=-1)
+        return self.contains(pts).reshape(grid.shape)
 
     def contains(self, points: np.ndarray) -> np.ndarray:
         """Boolean mask over ``points [N, dim]``."""
         raise NotImplementedError
+
+    def __or__(self, other: "Area") -> "Area":
+        return AreaUnion((self, other))
+
+    def __and__(self, other: "Area") -> "Area":
+        return AreaIntersection((self, other))
+
+    def __invert__(self) -> "Area":
+        return AreaNot(self)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,6 +161,71 @@ class AreaLayer(Area):
         return (x >= self.lo) & (x <= self.hi)
 
 
+@dataclasses.dataclass(frozen=True)
+class AreaCylinder(Area):
+    """Axis-aligned cylinder: distance to the axis line <= radius, with an
+    optional extent [lo, hi] along the axis (reference "Area shapes",
+    SURVEY.md §2 component 14)."""
+
+    axis: int
+    center: Tuple[float, ...]      # the axis-coordinate entry is ignored
+    radius: float
+    lo: float = -np.inf
+    hi: float = np.inf
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        pts = np.asarray(points)
+        d2 = np.zeros(len(pts))
+        for a in range(pts.shape[1]):
+            if a != self.axis:
+                d2 += (pts[:, a] - self.center[a]) ** 2
+        x = pts[:, self.axis]
+        return (d2 <= self.radius ** 2) & (x >= self.lo) & (x <= self.hi)
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaHalfSpace(Area):
+    """The half-space ``normal . (x - point) <= 0`` (oblique layers,
+    dipping interfaces)."""
+
+    point: Tuple[float, ...]
+    normal: Tuple[float, ...]
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        rel = np.asarray(points) - np.asarray(self.point)
+        return rel @ np.asarray(self.normal) <= 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaUnion(Area):
+    areas: Tuple[Area, ...]
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        m = self.areas[0].contains(points)
+        for a in self.areas[1:]:
+            m = m | a.contains(points)
+        return m
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaIntersection(Area):
+    areas: Tuple[Area, ...]
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        m = self.areas[0].contains(points)
+        for a in self.areas[1:]:
+            m = m & a.contains(points)
+        return m
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaNot(Area):
+    area: Area
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        return ~self.area.contains(points)
+
+
 # ---------------------------------------------------------------- conditions
 
 #: characteristic border-condition kinds (SURVEY.md §0.4)
@@ -184,10 +264,76 @@ class MaterialRegion:
 
 @dataclasses.dataclass(frozen=True)
 class InitialCondition:
-    """Set state components inside an area: {component name: value}."""
+    """Set state components inside an area: {component name: value}.
+
+    A value may be a float (constant over the area) or a callable
+    ``f(X1, .., Xd) -> array`` of the node coordinate meshgrids (function
+    initial conditions: plane waves, Gaussian wave packets, arbitrary
+    profiles — reference ICs-by-Area, SURVEY.md §2 component 14).
+    """
 
     area: Area
-    values: Dict[str, float]
+    values: Dict[str, Union[float, Callable]]
+
+
+def plane_wave_initial(
+    model_name: str,
+    material,
+    axis: int,
+    direction: int,
+    profile: Callable,
+    wave: str = "p",
+    area: Optional[Area] = None,
+) -> InitialCondition:
+    """A traveling plane-wave initial condition.
+
+    ``profile(x_axis)`` is the stress amplitude along the propagation
+    axis; ``direction`` = ±1 is the travel direction; ``wave`` = 'p'
+    (compressional: sigma_aa + v_a) or 's' (shear: sigma_ab + v_b with b
+    the next transverse axis). Exactly one characteristic invariant is
+    loaded, so the pulse travels one way at the wave speed.
+    """
+    from gcm_tpu.models.spec import get_model
+
+    model = get_model(model_name)
+    ax_names = "xyz"[:model.dim]
+    a = ax_names[axis]
+    if wave == "p":
+        z = material.rho * material.cp
+        sig = f"s{a}{a}" if model.name.startswith("elastic") else "p"
+        vel = f"v{a}" if model.dim > 1 else "v"
+    else:
+        b = ax_names[(axis + 1) % model.dim]
+        z = material.rho * material.cs
+        lo, hi = sorted((a, b))
+        sig = f"s{lo}{hi}"
+        vel = f"v{b}"
+    sgn = -float(direction) * model.sign
+
+    def sig_fn(*X):
+        return profile(X[axis])
+
+    def vel_fn(*X):
+        return sgn * profile(X[axis]) / z
+
+    return InitialCondition(area or AreaAll(),
+                            values={sig: sig_fn, vel: vel_fn})
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveletSource:
+    """Point source with an arbitrary time function ``fn(t) -> amplitude``
+    (vectorized over t). The generic form of RickerSource — any source
+    signature the reference's explosion-type loads express."""
+
+    position: Tuple[float, ...]
+    components: Tuple[str, ...]
+    fn: Callable
+    amplitude: float = 1.0
+
+    def wavelet(self, t):
+        out = self.amplitude * np.asarray(self.fn(np.asarray(t, np.float64)))
+        return float(out) if out.ndim == 0 else out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,6 +359,28 @@ class RickerSource:
         a = (_np.pi * self.f0 * (_np.asarray(t, _np.float64) - self.t0)) ** 2
         out = self.amplitude * (1.0 - 2.0 * a) * _np.exp(-a)
         return float(out) if out.ndim == 0 else out
+
+
+def apply_initial(u0: np.ndarray, model, grid: GridSpec,
+                  initial) -> np.ndarray:
+    """Rasterize InitialConditions into the state array ``u0`` (in place).
+
+    Constant values fill the area; callable values are evaluated on the
+    node coordinate meshgrids and masked to the area.
+    """
+    X = None
+    for ic in initial:
+        msk = ic.area.mask(grid)
+        for name, val in ic.values.items():
+            if callable(val):
+                if X is None:
+                    X = grid.meshgrid()
+                field = np.broadcast_to(
+                    np.asarray(val(*X), np.float64), grid.shape)
+                u0[model.comp(name)][msk] = field[msk]
+            else:
+                u0[model.comp(name)][msk] = val
+    return u0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -103,6 +103,45 @@ def test_fused_spmd_no_borders(rng):
                      borders=None)
 
 
+def test_fused_spmd_orthotropic_matches_global(rng):
+    """Orthotropic media through the multi-chip fused path (per-stiffness
+    material layout in the extended stack)."""
+    from gcm_tpu.materials import OrthotropicMaterialFields
+
+    shape = (32, 16, 16)
+    model = get_model("elastic3d")
+    ones = np.ones(shape)
+    rho = 2500.0 * (1.0 + 0.2 * rng.random(shape))
+    c = {"c11": 60e9 * (1 + 0.1 * rng.random(shape)), "c22": 45e9 * ones,
+         "c33": 70e9 * ones, "c12": 12e9 * ones, "c13": 10e9 * ones,
+         "c23": 14e9 * ones, "c44": 18e9 * ones, "c55": 22e9 * ones,
+         "c66": 16e9 * ones}
+    mat = OrthotropicMaterialFields.from_constants(
+        rho, c, xp=jnp, dtype=jnp.float32)
+    dt = 0.5 / mat.max_cp()
+    u = _state_like(rng, model, shape)
+    h = (1.0, 1.1, 0.9)
+    mesh = domain_mesh(3, devices=jax.devices("cpu")[:8], shape=(4, 2))
+    mext = extended_mstack(model, mat, mesh, 2)
+    spmd = make_fused_spmd_step(model, mesh, dt, h, 2, BORDERS, bx=4, by=8)
+    got = jax.device_put(u, field_sharding(mesh, 3))
+    want = u
+    for n in range(2):
+        axes = (0, 1, 2) if n % 2 == 0 else (2, 1, 0)
+        got = spmd(got, mext, axes)
+        want = step(model, want, mat, dt, h, 2, BORDERS, axes)
+    got, want = np.asarray(got), np.asarray(want)
+    scale = np.abs(want).reshape(model.ncomp, -1).max(1) + 1e-30
+    err = np.abs(got - want).reshape(model.ncomp, -1).max(1) / scale
+    assert err.max() < 3e-6, f"normalized err {err}"
+
+
+def _state_like(rng, model, shape):
+    u = rng.standard_normal((model.ncomp,) + shape)
+    u[model.dim:] *= 1e6
+    return jnp.asarray(u, jnp.float32)
+
+
 def test_engine_mesh_fused_matches_jnp():
     """Engine(mesh=...) + kernel='pallas_fused' — the production distributed
     path end-to-end (sources, detectors, symmetrized stages) == jnp engine."""

@@ -32,7 +32,10 @@ def main():
     ap.add_argument("--per-device", default="128,128,128",
                     help="per-device subdomain shape")
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--path", choices=["jnp", "pallas"], default="jnp")
+    ap.add_argument("--path", choices=["jnp", "pallas", "fused"],
+                    default="jnp")
+    ap.add_argument("--json-out", default=None,
+                    help="append result records to this file")
     args = ap.parse_args()
 
     if args.virtual:
@@ -73,19 +76,30 @@ def main():
             0.01 * rng.standard_normal((model.ncomp,) + shape),
             dtype=jnp.float32)
         mat = MaterialFields.uniform(MAT, shape, xp=jnp, dtype=jnp.float32)
-        u, mat = shard_state(u0, mat, mesh)
-        step = make_spmd_step(model, mesh, dt, h, 2, borders,
-                              use_pallas=(args.path == "pallas"))
-        u = step(u, mat)                      # compile
+        u, mat_s = shard_state(u0, mat, mesh)
+        if args.path == "fused":
+            # the production multi-chip path: fused full-step kernel under
+            # shard_map with overlapped halo-slab exchange
+            from gcm_tpu.parallel.fused_spmd import (
+                extended_mstack, make_fused_spmd_step)
+
+            mext = extended_mstack(model, mat, mesh, 2)
+            fstep = make_fused_spmd_step(model, mesh, dt, h, 2, borders)
+            step = lambda uu, _m: fstep(uu, mext)  # noqa: E731
+        else:
+            step = make_spmd_step(model, mesh, dt, h, 2, borders,
+                                  use_pallas=(args.path == "pallas"))
+        u = step(u, mat_s)                    # compile
         float(np.asarray(u[0, 0, 0, 0]))
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            u = step(u, mat)
+            u = step(u, mat_s)
         float(np.asarray(u[0, 0, 0, 0]))      # forced sync
         dtw = (time.perf_counter() - t0) / args.steps
         pps = int(np.prod(shape)) / dtw
         results.append({"devices": n, "mesh": list(mesh.devices.shape),
-                        "global_shape": list(shape),
+                        "global_shape": list(shape), "path": args.path,
+                        "virtual": bool(args.virtual),
                         "points_per_s": round(pps, 1)})
         print(json.dumps(results[-1]), flush=True)
 
@@ -93,8 +107,13 @@ def main():
         base = results[0]["points_per_s"]
         for r in results[1:]:
             eff = r["points_per_s"] / (r["devices"] * base)
-            print(json.dumps({"devices": r["devices"],
-                              "weak_scaling_efficiency": round(eff, 3)}))
+            results.append({"devices": r["devices"],
+                            "weak_scaling_efficiency": round(eff, 3)})
+            print(json.dumps(results[-1]))
+    if args.json_out:
+        with open(args.json_out, "a") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,154 @@
+"""Contact between simplex-mesh bodies: paired-node characteristic solves.
+
+The reference handles contact between arbitrary meshes through pairs of
+border nodes (SURVEY.md §2 component 11); round-1 covered structured-
+structured interfaces only.  Here two simplex bodies meet along a
+grid-conforming contact plane normal to ``axis`` (collocated interface
+nodes, body_a on the low side / body_b on the high side); the pairing is
+precomputed host-side by coordinate matching, and the interface solve runs
+as a **post-sweep fixup on the paired nodes** — static-index gathers and
+scatters, the TPU-native form of the reference's per-node-pair loop:
+
+- during body_a's sweep along ``axis`` the invariant entering from the
+  high side is unknown (its characteristic foot leaves the hull — the
+  border condition fills it, and this fixup overwrites it);
+- the fixup reconstructs both bodies' invariants at the paired nodes from
+  the raw-swept state (the reconstruction is invertible), applies the
+  same two-impedance solve as structured contact
+  (gcm_tpu.solver.contact._pair_incoming — bonded / slip / Coulomb
+  friction / fracture), and re-propagates the zero-speed invariants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gcm_tpu.grids.simplex import SimplexGrid
+from gcm_tpu.solver.contact import CONTACT_KINDS, _fracture, _pair_incoming
+
+
+@dataclasses.dataclass(frozen=True)
+class SimplexContactSpec:
+    """Contact between two simplex bodies along ``axis``.
+
+    body_a is on the LOW side of the contact plane (its paired nodes see
+    the +axis characteristic leave the hull), body_b on the high side.
+    Same kinds/criteria as the structured ContactSpec.
+    """
+
+    body_a: str
+    body_b: str
+    axis: int
+    kind: str = "bonded"
+    tensile_strength: Optional[float] = None
+    broken_kind: str = "free"
+    friction_mu: float = 0.0
+
+    def __post_init__(self):
+        if self.kind not in CONTACT_KINDS:
+            raise ValueError(f"unknown contact kind {self.kind!r}")
+        if self.broken_kind not in ("free", "slip"):
+            raise ValueError(f"unknown broken kind {self.broken_kind!r}")
+
+
+def pair_contact_nodes(
+    grid_a: SimplexGrid,
+    grid_b: SimplexGrid,
+    tol: float = 1e-9,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pair collocated hull nodes of two bodies (idx_a, idx_b) by
+    coordinate matching — the conforming-interface discovery step."""
+    from scipy.spatial import cKDTree
+
+    ha = np.flatnonzero(grid_a.hull_mask())
+    hb = np.flatnonzero(grid_b.hull_mask())
+    tree = cKDTree(grid_b.points[hb])
+    d, j = tree.query(grid_a.points[ha], k=1)
+    keep = d <= tol
+    idx_a = ha[keep].astype(np.int32)
+    idx_b = hb[j[keep]].astype(np.int32)
+    if len(idx_a) == 0:
+        raise ValueError("no collocated interface nodes found")
+    return idx_a, idx_b
+
+
+def apply_simplex_contact_post(
+    spec: SimplexContactSpec,
+    model,
+    u_old_a: jnp.ndarray,
+    u_a: jnp.ndarray,
+    u_old_b: jnp.ndarray,
+    u_b: jnp.ndarray,
+    view_a,
+    view_b,
+    idx_a: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    bonded: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """One contact's interface solve on the paired nodes, post-sweep.
+
+    ``u_*`` are [ncomp, N] raw-swept states of the ``spec.axis`` sweep;
+    ``view_*`` the bodies' AxisViews of that sweep. Returns the fixed
+    states and the updated bond mask.
+    """
+    ax = spec.axis
+    st = model.stage(ax)
+    sign = model.sign
+
+    keys = list(range(len(st.pairs)))
+    normal_k = [k for k in keys if st.pairs[k].traction_axis == ax]
+    order_ks = normal_k + [k for k in keys if k not in normal_k]
+
+    glue = (bonded > 0.5) if bonded is not None else None
+    s_star_n = None
+    sigma_c = None
+    sigma_fixed_a: Dict[int, jnp.ndarray] = {}
+    sigma_fixed_b: Dict[int, jnp.ndarray] = {}
+
+    for k in order_ks:
+        p = st.pairs[k]
+        is_normal = p.traction_axis == ax
+        z_a = view_a.pair_z[k][idx_a]
+        z_b = view_b.pair_z[k][idx_b]
+        A_a, B_a = u_a[p.sigma][idx_a], u_a[p.vel][idx_a]
+        A_b, B_b = u_b[p.sigma][idx_b], u_b[p.vel][idx_b]
+        # body_a is on the low side: its outgoing invariant at the plane is
+        # w_R (foot inside A); body_b's is w_L
+        out_a = A_a - sign * z_a * B_a
+        out_b = A_b + sign * z_b * B_b
+        in_a, in_b, s_star = _pair_incoming(
+            spec, is_normal, out_a, out_b, z_a, z_b, glue, sigma_c)
+        if is_normal:
+            s_star_n = s_star
+            sigma_c = jnp.maximum(-s_star, 0.0)
+        A_a2 = 0.5 * (in_a + out_a)
+        B_a2 = jnp.where(z_a > 0,
+                         sign * (in_a - out_a)
+                         / (2.0 * jnp.maximum(z_a, 1e-30)), B_a)
+        A_b2 = 0.5 * (out_b + in_b)
+        B_b2 = jnp.where(z_b > 0,
+                         sign * (out_b - in_b)
+                         / (2.0 * jnp.maximum(z_b, 1e-30)), B_b)
+        u_a = u_a.at[p.sigma, idx_a].set(A_a2)
+        u_a = u_a.at[p.vel, idx_a].set(B_a2)
+        u_b = u_b.at[p.sigma, idx_b].set(A_b2)
+        u_b = u_b.at[p.vel, idx_b].set(B_b2)
+        sigma_fixed_a[p.sigma] = A_a2
+        sigma_fixed_b[p.sigma] = A_b2
+
+    for j, zc in enumerate(st.zeros):
+        if zc.src in sigma_fixed_a:
+            kap_a = view_a.zero_kappa[j][idx_a]
+            z_new = u_old_a[zc.comp][idx_a] + kap_a * (
+                sigma_fixed_a[zc.src] - u_old_a[zc.src][idx_a])
+            u_a = u_a.at[zc.comp, idx_a].set(z_new)
+            kap_b = view_b.zero_kappa[j][idx_b]
+            z_new = u_old_b[zc.comp][idx_b] + kap_b * (
+                sigma_fixed_b[zc.src] - u_old_b[zc.src][idx_b])
+            u_b = u_b.at[zc.comp, idx_b].set(z_new)
+
+    return u_a, u_b, _fracture(spec, bonded, s_star_n)

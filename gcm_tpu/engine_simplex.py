@@ -34,6 +34,7 @@ class SimplexRunResult:
     dt: float
     wall_seconds: float
     points_per_second: float
+    traces: Optional[np.ndarray] = None   # [nsteps, npoints, ncomp]
 
 
 class SimplexEngine:
@@ -45,6 +46,11 @@ class SimplexEngine:
     the default (e.g. free surface on top, absorbing sides — the config-4
     geometry on an unstructured body). Works on imported/non-convex meshes
     (SimplexGrid.from_cells / load_msh).
+
+    ``sources``: Ricker/Wavelet point sources injected at the node nearest
+    each source position; ``detector_points``: receiver locations whose
+    nearest-node state is accumulated on device every step (seismograms) —
+    the reference Detector on an unstructured mesh.
     """
 
     def __init__(
@@ -57,6 +63,8 @@ class SimplexEngine:
         u0: Optional[np.ndarray] = None,
         dtype=jnp.float32,
         borders: Optional[Sequence[Tuple[object, object]]] = None,
+        sources: Sequence[object] = (),
+        detector_points: Optional[Sequence[Sequence[float]]] = None,
     ):
         self.grid = grid
         self.model = get_model(model_name)
@@ -82,38 +90,79 @@ class SimplexEngine:
             else np.zeros((self.model.ncomp, grid.npoints)),
             dtype=dtype,
         )
+        self.dtype = dtype
+        # nearest-node source / detector indices (host-side, once)
+        from scipy.spatial import cKDTree as _KD
+
+        tree = _KD(grid.points)
+        self._srcs = []
+        for src in sources:
+            _, node = tree.query(np.asarray(src.position)[None, :], k=1)
+            for cname in src.components:
+                self._srcs.append((int(node[0]), self.model.comp(cname), src))
+        self._det_idx = None
+        if detector_points is not None:
+            _, nodes = tree.query(np.asarray(detector_points), k=1)
+            self._det_idx = jnp.asarray(np.asarray(nodes, np.int32))
 
     def run(self, nsteps: int) -> SimplexRunResult:
         model, mat, tables, border = (
             self.model, self.mat, self.tables, self.border_kind
         )
         axes_fwd = tuple(range(model.dim))
+        npairs = nsteps // 2
+
+        times = (np.arange(nsteps, dtype=np.float64) + 1.0) * self.dt
+        amps = (np.stack([np.broadcast_to(s.wavelet(times) * self.dt, nsteps)
+                          for _, _, s in self._srcs], axis=1)
+                if self._srcs else np.zeros((nsteps, 0)))
+        amps_pairs = jnp.asarray(amps[:npairs * 2].reshape(npairs, 2, -1),
+                                 dtype=self.dtype)
+        det = self._det_idx
+
+        def half_step(u, amp, axes):
+            u = simplex_step(model, u, mat, tables, border, axes)
+            for k, (node, comp, _) in enumerate(self._srcs):
+                u = u.at[comp, node].add(amp[k])
+            tr = (u[:, det].T if det is not None
+                  else jnp.zeros((0, model.ncomp), u.dtype))
+            return u, tr
 
         @partial(jax.jit, donate_argnums=0)
-        def scan_all(u):
+        def scan_all(u, amps_pairs):
             # symmetrized stage order (second order in time, SURVEY §0.3 —
             # measured in tests/test_temporal_order.py), same as Engine
-            def body(u, _):
-                u = simplex_step(model, u, mat, tables, border, axes_fwd)
-                u = simplex_step(model, u, mat, tables, border,
-                                 axes_fwd[::-1])
-                return u, ()
+            def body(u, amp2):
+                u, t0_ = half_step(u, amp2[0], axes_fwd)
+                u, t1_ = half_step(u, amp2[1], axes_fwd[::-1])
+                return u, jnp.stack([t0_, t1_])
 
-            return jax.lax.scan(body, u, None, length=nsteps // 2)[0]
+            return jax.lax.scan(body, u, amps_pairs)
 
         t0 = _time.perf_counter()
-        u = scan_all(self.u)
+        u, traces = scan_all(self.u, amps_pairs)
+        tail = []
         if nsteps % 2:
-            u = simplex_step(model, u, mat, tables, border, axes_fwd)
+            u, tr = half_step(u, jnp.asarray(amps[-1], dtype=self.dtype),
+                              axes_fwd)
+            tail.append(tr)
         u.block_until_ready()
         wall = _time.perf_counter() - t0
         self.u = u
+        trace_arr = None
+        if det is not None:
+            npts = len(np.asarray(det))
+            trace_arr = np.asarray(traces).reshape(-1, npts, model.ncomp)
+            if tail:
+                trace_arr = np.concatenate(
+                    [trace_arr, np.asarray(tail[0])[None]], axis=0)
         return SimplexRunResult(
             u=np.asarray(jax.device_get(u)),
             nsteps=nsteps,
             dt=self.dt,
             wall_seconds=wall,
             points_per_second=self.grid.npoints * nsteps / max(wall, 1e-12),
+            traces=trace_arr,
         )
 
     def write_snapshot(self, path: str) -> None:

@@ -89,11 +89,19 @@ def main():
         else:
             step = make_spmd_step(model, mesh, dt, h, 2, borders,
                                   use_pallas=(args.path == "pallas"))
-        u = step(u, mat_s)                    # compile
+        # scan-timed like bench.py: amortizes per-dispatch tunnel overhead
+        import jax as _jax
+
+        def scan_steps(uu):
+            return _jax.lax.scan(
+                lambda a, _: (step(a, mat_s), None), uu, None,
+                length=args.steps)[0]
+
+        scan_steps = _jax.jit(scan_steps)
+        u = scan_steps(u)                     # compile + warm
         float(np.asarray(u[0, 0, 0, 0]))
         t0 = time.perf_counter()
-        for _ in range(args.steps):
-            u = step(u, mat_s)
+        u = scan_steps(u)
         float(np.asarray(u[0, 0, 0, 0]))      # forced sync
         dtw = (time.perf_counter() - t0) / args.steps
         pps = int(np.prod(shape)) / dtw

@@ -16,6 +16,12 @@ Border conditions: the raw sweep runs border-free on the extended block;
 global-edge shards then apply the exactly-equivalent post-fixup
 (solver.boundary.apply_borders_post), gated by traced ``axis_index``
 predicates — one program for every shard.
+
+Note: this path re-exchanges the (static) material fields each sweep —
+simple but wasteful. The PRODUCTION multi-chip path
+(gcm_tpu.parallel.fused_spmd) eliminates that entirely with a once-built
+halo-extended material layout and overlaps the state-slab exchange with
+interior compute; prefer it where its scope fits (3D, orders 1–4).
 """
 
 from __future__ import annotations

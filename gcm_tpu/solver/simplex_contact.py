@@ -28,7 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcm_tpu.grids.simplex import SimplexGrid
-from gcm_tpu.solver.contact import CONTACT_KINDS, _fracture, _pair_incoming
+from gcm_tpu.solver.contact import (
+    CONTACT_KINDS, _fracture, _pair_incoming, _require_normal_pair,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,18 +63,28 @@ def pair_contact_nodes(
     tol: float = 1e-9,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pair collocated hull nodes of two bodies (idx_a, idx_b) by
-    coordinate matching — the conforming-interface discovery step."""
+    coordinate matching — the conforming-interface discovery step.
+
+    Matches are required to be MUTUAL nearest neighbors (advisor r2):
+    one-directional matching could pair two a-nodes to the same b-node,
+    and duplicated scatter indices in apply_simplex_contact_post would
+    make one update win arbitrarily. Mutual matching makes the pairing a
+    partial bijection; a uniqueness assert guards the invariant.
+    """
     from scipy.spatial import cKDTree
 
     ha = np.flatnonzero(grid_a.hull_mask())
     hb = np.flatnonzero(grid_b.hull_mask())
-    tree = cKDTree(grid_b.points[hb])
-    d, j = tree.query(grid_a.points[ha], k=1)
-    keep = d <= tol
+    tree_b = cKDTree(grid_b.points[hb])
+    d_ab, j = tree_b.query(grid_a.points[ha], k=1)
+    tree_a = cKDTree(grid_a.points[ha])
+    _, i_back = tree_a.query(grid_b.points[hb[j]], k=1)
+    keep = (d_ab <= tol) & (i_back == np.arange(len(ha)))
     idx_a = ha[keep].astype(np.int32)
     idx_b = hb[j[keep]].astype(np.int32)
     if len(idx_a) == 0:
         raise ValueError("no collocated interface nodes found")
+    assert np.unique(idx_b).size == idx_b.size, "non-bijective contact pairing"
     return idx_a, idx_b
 
 
@@ -97,6 +109,7 @@ def apply_simplex_contact_post(
     """
     ax = spec.axis
     st = model.stage(ax)
+    _require_normal_pair(spec, st.pairs, ax)
     sign = model.sign
 
     keys = list(range(len(st.pairs)))

@@ -58,6 +58,38 @@ def _all_eqns(jx):
                         yield from _all_eqns(s)
 
 
+def _all_bodies(jx):
+    yield jx
+    for eq in jx.eqns:
+        for sub in eq.params.values():
+            if hasattr(sub, "jaxpr"):
+                yield from _all_bodies(sub.jaxpr)
+            elif hasattr(sub, "eqns"):
+                yield from _all_bodies(sub)
+            elif isinstance(sub, (list, tuple)):
+                for s in sub:
+                    if hasattr(s, "jaxpr"):
+                        yield from _all_bodies(s.jaxpr)
+                    elif hasattr(s, "eqns"):
+                        yield from _all_bodies(s)
+
+
+def _common_body(jx):
+    """The (unique) jaxpr body whose DIRECT eqns hold both pallas_calls and
+    the ppermutes. The taint pass compares vars by identity, which is only
+    meaningful within one body — if a lowering change nested the permutes
+    and the kernels in different sub-jaxprs, a flat-list walk would emit a
+    vacuous PASS (advisor r2). Fails loudly instead."""
+    for b in _all_bodies(jx):
+        names = [e.primitive.name for e in b.eqns]
+        if names.count("pallas_call") >= 2 and "ppermute" in names:
+            return b
+    raise AssertionError(
+        "no single jaxpr body contains both pallas_calls and the "
+        "ppermutes — the overlap taint check cannot run on this lowering; "
+        "update tools/overlap_evidence.py for the new structure")
+
+
 def main() -> int:
     from gcm_tpu.materials import MaterialFields
     from gcm_tpu.models.spec import get_model
@@ -86,11 +118,20 @@ def main() -> int:
                                 bx=4, by=8)
     jaxpr = jax.make_jaxpr(lambda a, b: step(a, b, (0, 1, 2)))(u, mext)
 
-    eqns = list(_all_eqns(jaxpr.jaxpr))
+    flat = list(_all_eqns(jaxpr.jaxpr))
+    n_pallas_total = sum(e.primitive.name == "pallas_call" for e in flat)
+    n_perm_total = sum(e.primitive.name == "ppermute" for e in flat)
+    body = _common_body(jaxpr.jaxpr)
+    eqns = list(body.eqns)
     pallas = [e for e in eqns if e.primitive.name == "pallas_call"]
     ppermutes = [e for e in eqns if e.primitive.name == "ppermute"]
     assert len(pallas) == 2, f"expected interior+ring pallas, got {len(pallas)}"
     assert ppermutes, "no ppermute found — slabs were not exchanged"
+    assert len(pallas) == n_pallas_total and len(ppermutes) == n_perm_total, (
+        "pallas_calls/ppermutes exist outside the common body "
+        f"({n_pallas_total} pallas, {n_perm_total} permutes total vs "
+        f"{len(pallas)}/{len(ppermutes)} in-body) — taint check would be "
+        "incomplete")
     interior = min(pallas, key=lambda e: len(e.invars))
     ring = max(pallas, key=lambda e: len(e.invars))
 

@@ -25,31 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canyon_mesh(n: int, L: float, cw: float, cd: float):
-    """Unit-lattice triangulation of [0,L]^2 minus a canyon of width ``cw``
-    and depth ``cd`` cut into the TOP edge, centered in x."""
+    """Lattice triangulation of [0,L]^2 minus a canyon of width ``cw`` and
+    depth ``cd`` cut into the TOP edge, centered in x (via
+    SimplexGrid.box_minus with an AreaBox hole)."""
     from gcm_tpu.grids.simplex import SimplexGrid
+    from gcm_tpu.task import AreaBox
 
-    xs = np.linspace(0.0, L, n)
-    pts = np.stack([g.ravel() for g in np.meshgrid(xs, xs, indexing="ij")],
-                   axis=-1)
     x_lo, x_hi = (L - cw) / 2, (L + cw) / 2
     y_cut = L - cd
-    cells = []
-    for i in range(n - 1):
-        for j in range(n - 1):
-            cx = 0.5 * (xs[i] + xs[i + 1])
-            cy = 0.5 * (xs[j] + xs[j + 1])
-            if x_lo < cx < x_hi and cy > y_cut:
-                continue  # inside the canyon
-            v00, v10 = i * n + j, (i + 1) * n + j
-            v01, v11 = i * n + (j + 1), (i + 1) * n + (j + 1)
-            cells.append([v00, v10, v11])
-            cells.append([v00, v11, v01])
-    cells = np.asarray(cells, np.int32)
-    used = np.unique(cells)
-    remap = -np.ones(len(pts), np.int64)
-    remap[used] = np.arange(len(used))
-    return SimplexGrid.from_cells(pts[used], remap[cells]), (x_lo, x_hi, y_cut)
+    canyon = AreaBox((x_lo, y_cut), (x_hi, L + 1.0))
+    grid = SimplexGrid.box_minus((0.0, 0.0), (L, L), (n, n), holes=(canyon,))
+    return grid, (x_lo, x_hi, y_cut)
 
 
 def main() -> int:

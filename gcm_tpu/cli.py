@@ -161,18 +161,51 @@ def _run_contact(args, kw) -> int:
 
 
 def _run_simplex(args, kw) -> int:
+    import dataclasses
+    import inspect
     import os
 
     from gcm_tpu import scenarios
+    from gcm_tpu.task import SimplexTask, SnapshotSpec
 
     factory = getattr(scenarios, args.scenario, None)
     if factory is None:
         raise SystemExit(f"unknown simplex scenario {args.scenario!r}")
-    nsteps = kw.pop("nsteps", 200)
-    eng = factory(**kw)
-    res = eng.run(nsteps)
-    os.makedirs(args.outdir, exist_ok=True)
-    eng.write_snapshot(os.path.join(args.outdir, f"{args.scenario}.vtu"))
+    nsteps = kw.pop("nsteps", None)
+    if nsteps is not None and \
+            "nsteps" in inspect.signature(factory).parameters:
+        kw["nsteps"] = nsteps
+        nsteps = None
+    obj = factory(**kw)
+
+    if isinstance(obj, SimplexTask):
+        # full Task-driven path: cadenced snapshots, seismograms,
+        # checkpoint/resume — parity with the structured run path
+        from gcm_tpu.engine_simplex import SimplexEngine
+
+        if args.snapshot_every is not None:
+            obj = dataclasses.replace(
+                obj, snapshots=SnapshotSpec(every=args.snapshot_every))
+        eng = SimplexEngine.from_task(obj)
+        if args.resume:
+            from gcm_tpu.utils.checkpoint import (
+                latest_step, restore_checkpoint)
+
+            ckdir = os.path.join(args.outdir, "checkpoints")
+            step = latest_step(ckdir)
+            if step is not None:
+                eng.load_state(restore_checkpoint(ckdir, eng.state_dict()))
+                print(f"resumed from step {eng.start_step}", file=sys.stderr)
+        res = eng.run_with_outputs(args.outdir,
+                                   checkpoint_every=args.checkpoint_every)
+        eng.write_snapshot(
+            os.path.join(args.outdir, f"{args.scenario}_final.vtu"))
+    else:
+        # legacy factories return a ready engine; nsteps via run()
+        eng = obj
+        res = eng.run(nsteps if nsteps is not None else 200)
+        os.makedirs(args.outdir, exist_ok=True)
+        eng.write_snapshot(os.path.join(args.outdir, f"{args.scenario}.vtu"))
     print(json.dumps({
         "scenario": args.scenario,
         "nsteps": res.nsteps,

@@ -65,10 +65,14 @@ class SimplexEngine:
         borders: Optional[Sequence[Tuple[object, object]]] = None,
         sources: Sequence[object] = (),
         detector_points: Optional[Sequence[Sequence[float]]] = None,
+        correctors: Sequence[object] = (),
+        nsteps: Optional[int] = None,
+        name: str = "simplex",
     ):
         self.grid = grid
         self.model = get_model(model_name)
         self.mat = _material_fields(material, grid.npoints, dtype)
+        self.name = name
         # characteristic length: minimum nearest-neighbor distance
         from scipy.spatial import cKDTree
 
@@ -104,66 +108,197 @@ class SimplexEngine:
         if detector_points is not None:
             _, nodes = tree.query(np.asarray(detector_points), k=1)
             self._det_idx = jnp.asarray(np.asarray(nodes, np.int32))
+        # ODE corrector aux state (same split-step coupling as Engine)
+        self.correctors = tuple(correctors)
+        self.aux: Dict = {}
+        for corr in self.correctors:
+            self.aux.update(corr.init_aux(self.model, (grid.npoints,)))
+        self.nsteps = nsteps
+        self.snapshots = None          # SnapshotSpec when built from a task
+        self.task = None
+        #: first step index run() will execute (set by load_state on resume)
+        self.start_step: int = 0
+        self._done_step: int = 0
 
-    def run(self, nsteps: int) -> SimplexRunResult:
+    @classmethod
+    def from_task(cls, task, dtype=jnp.float32) -> "SimplexEngine":
+        """Build from a :class:`gcm_tpu.task.SimplexTask`: heterogeneous
+        media (materials-by-area) + ICs-by-area rasterized through
+        ``Area.contains``, per-area BCs, sources/detectors/correctors and
+        snapshot cadence wired — the Task-driven simplex path
+        (VERDICT r2 item 1)."""
+        model = get_model(task.model)
+        mat = task.material_fields(xp=jnp, dtype=dtype)
+        eng = cls(
+            task.grid, task.model, mat,
+            cfl=task.time.cfl,
+            border_kind=task.border_default,
+            u0=task.initial_state(model),
+            dtype=dtype,
+            borders=(task.borders or None),
+            sources=task.sources,
+            detector_points=(task.detectors.points
+                             if task.detectors is not None else None),
+            correctors=task.correctors,
+            name=task.name,
+        )
+        eng.nsteps = task.time.steps_for(eng.dt)
+        eng.snapshots = task.snapshots
+        eng.task = task
+        return eng
+
+    # ----------------------------------------------------------- checkpoint
+
+    def state_dict(self) -> Dict:
+        """Full restartable state: fields, corrector aux, completed steps
+        (simplex parity with Engine.state_dict — VERDICT r2 missing #5)."""
+        return {"u": self.u, "aux": self.aux, "step": self._done_step}
+
+    def load_state(self, state: Dict) -> None:
+        self.u = jnp.asarray(state["u"], dtype=self.dtype)
+        self.aux = jax.tree.map(jnp.asarray, state["aux"])
+        self.start_step = self._done_step = int(np.asarray(state["step"]))
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, nsteps: Optional[int] = None,
+            snapshot_cb=None) -> SimplexRunResult:
+        """Run steps ``start_step .. nsteps`` (resume-aware). ``nsteps``
+        defaults to the task-derived total; ``snapshot_cb(step, u)`` is
+        called at the snapshot cadence (host-side, outside jit)."""
+        nsteps = self.nsteps if nsteps is None else nsteps
+        if nsteps is None:
+            raise ValueError("nsteps not given and engine has no task")
         model, mat, tables, border = (
             self.model, self.mat, self.tables, self.border_kind
         )
         axes_fwd = tuple(range(model.dim))
-        npairs = nsteps // 2
+        start = int(self.start_step)
 
         times = (np.arange(nsteps, dtype=np.float64) + 1.0) * self.dt
-        amps = (np.stack([np.broadcast_to(s.wavelet(times) * self.dt, nsteps)
-                          for _, _, s in self._srcs], axis=1)
-                if self._srcs else np.zeros((nsteps, 0)))
-        amps_pairs = jnp.asarray(amps[:npairs * 2].reshape(npairs, 2, -1),
-                                 dtype=self.dtype)
+        amps_np = (np.stack(
+            [np.broadcast_to(s.wavelet(times) * self.dt, nsteps)
+             for _, _, s in self._srcs], axis=1)
+            if self._srcs else np.zeros((nsteps, 0)))
+        amps_all = jnp.asarray(amps_np, dtype=self.dtype)
         det = self._det_idx
 
-        def half_step(u, amp, axes):
+        def half_step(u, aux, amp, parity):
+            axes = axes_fwd if parity == 0 else axes_fwd[::-1]
             u = simplex_step(model, u, mat, tables, border, axes)
             for k, (node, comp, _) in enumerate(self._srcs):
                 u = u.at[comp, node].add(amp[k])
+            for corr in self.correctors:
+                u, aux = corr(model, u, aux, self.dt)
             tr = (u[:, det].T if det is not None
                   else jnp.zeros((0, model.ncomp), u.dtype))
-            return u, tr
+            return u, aux, tr
 
         @partial(jax.jit, donate_argnums=0)
-        def scan_all(u, amps_pairs):
+        def scan_pairs(carry, amps_pairs):
             # symmetrized stage order (second order in time, SURVEY §0.3 —
             # measured in tests/test_temporal_order.py), same as Engine
-            def body(u, amp2):
-                u, t0_ = half_step(u, amp2[0], axes_fwd)
-                u, t1_ = half_step(u, amp2[1], axes_fwd[::-1])
-                return u, jnp.stack([t0_, t1_])
+            def body(carry, amp2):
+                u, aux = carry
+                u, aux, t0_ = half_step(u, aux, amp2[0], 0)
+                u, aux, t1_ = half_step(u, aux, amp2[1], 1)
+                return (u, aux), jnp.stack([t0_, t1_])
 
-            return jax.lax.scan(body, u, amps_pairs)
+            return jax.lax.scan(body, carry, amps_pairs)
 
+        u, aux = self.u, self.aux
+        traces = []
         t0 = _time.perf_counter()
-        u, traces = scan_all(self.u, amps_pairs)
-        tail = []
-        if nsteps % 2:
-            u, tr = half_step(u, jnp.asarray(amps[-1], dtype=self.dtype),
-                              axes_fwd)
-            tail.append(tr)
+        done = start
+        npts_det = None if det is None else len(np.asarray(det))
+
+        def single(n):
+            nonlocal u, aux
+            u, aux, tr = half_step(u, aux, amps_all[n], n % 2)
+            if det is not None:
+                traces.append(np.asarray(tr).reshape(1, -1, model.ncomp))
+
+        # align a resumed run to an even-parity boundary so the jitted
+        # pair-scan always starts with the forward axes order
+        while done < nsteps and done % 2 != 0:
+            single(done)
+            done += 1
+        nfull_end = done + ((nsteps - done) // 2) * 2
+        every = self.snapshots.every if (
+            snapshot_cb is not None and self.snapshots is not None) else 0
+        chunk = every if every else max(nfull_end - done, 2)
+        chunk = max(2, (chunk // 2) * 2)
+        nsrc = amps_all.shape[1]
+        while done < nfull_end:
+            take = min(chunk, nfull_end - done) // 2
+            amps_pairs = amps_all[done:done + take * 2].reshape(
+                take, 2, nsrc)
+            (u, aux), tr = scan_pairs((u, aux), amps_pairs)
+            if det is not None:
+                traces.append(np.asarray(tr).reshape(-1, npts_det,
+                                                     model.ncomp))
+            done += take * 2
+            self.u, self.aux, self._done_step = u, aux, done
+            if snapshot_cb is not None:
+                snapshot_cb(done, np.asarray(jax.device_get(u)))
+        while done < nsteps:           # odd forward tail
+            single(done)
+            done += 1
         u.block_until_ready()
         wall = _time.perf_counter() - t0
-        self.u = u
+        self.u, self.aux, self._done_step = u, aux, done
         trace_arr = None
-        if det is not None:
-            npts = len(np.asarray(det))
-            trace_arr = np.asarray(traces).reshape(-1, npts, model.ncomp)
-            if tail:
-                trace_arr = np.concatenate(
-                    [trace_arr, np.asarray(tail[0])[None]], axis=0)
+        if det is not None and traces:
+            trace_arr = np.concatenate(
+                [t.reshape(-1, npts_det, model.ncomp) for t in traces],
+                axis=0)
         return SimplexRunResult(
             u=np.asarray(jax.device_get(u)),
             nsteps=nsteps,
             dt=self.dt,
             wall_seconds=wall,
-            points_per_second=self.grid.npoints * nsteps / max(wall, 1e-12),
+            points_per_second=(
+                self.grid.npoints * (nsteps - start) / max(wall, 1e-12)),
             traces=trace_arr,
         )
+
+    # ------------------------------------------------------------- outputs
+
+    def run_with_outputs(self, outdir: str,
+                         checkpoint_every: int = 0) -> SimplexRunResult:
+        """Run with artifact outputs: cadenced .vtu snapshots, seismograms,
+        optional orbax checkpoints — the unstructured mirror of
+        Engine.run_with_outputs."""
+        import os
+
+        from gcm_tpu.snapshot.seismo import save_seismograms
+
+        os.makedirs(outdir, exist_ok=True)
+        snap = self.snapshots
+        cb = None
+        if snap is not None and snap.every:
+            snapdir = os.path.join(outdir, snap.directory)
+            os.makedirs(snapdir, exist_ok=True)
+
+            def cb(step: int, u: np.ndarray) -> None:
+                self.write_snapshot(
+                    os.path.join(snapdir, f"{self.name}_{step:06d}.vtu"))
+                if checkpoint_every and step % checkpoint_every == 0:
+                    from gcm_tpu.utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        os.path.join(outdir, "checkpoints"), step,
+                        self.state_dict(),
+                    )
+
+        res = self.run(snapshot_cb=cb)
+        if res.traces is not None and self.task is not None \
+                and self.task.detectors is not None:
+            save_seismograms(
+                outdir, self.name, res.traces, self.dt,
+                self.task.detectors.points, self.model.comp_names,
+            )
+        return res
 
     def write_snapshot(self, path: str) -> None:
         from gcm_tpu.snapshot.vtk import write_vtu
@@ -171,6 +306,8 @@ class SimplexEngine:
         u = np.asarray(jax.device_get(self.u))
         fields = {n: u[i] for i, n in enumerate(self.model.comp_names)}
         fields["velocity"] = u[self.model.vel_slice]
+        for key, arr in self.aux.items():
+            fields[key] = np.asarray(jax.device_get(arr))
         write_vtu(path, self.grid.points, self.grid.cells, fields)
 
 
@@ -329,6 +466,10 @@ class SimplexMultiRunResult:
 
 
 def _material_fields(material, npoints: int, dtype):
+    # already-per-node fields (heterogeneous media, built by
+    # SimplexTask.material_fields) pass straight through
+    if isinstance(material, (MaterialFields, OrthotropicMaterialFields)):
+        return material
     ones = np.ones(npoints)
     if isinstance(material, OrthotropicMaterial):
         return OrthotropicMaterialFields.from_constants(

@@ -99,6 +99,28 @@ class SimplexGrid:
                               * np.asarray(steps))
         return SimplexGrid.from_points(pts)
 
+    @staticmethod
+    def box_minus(lo: Sequence[float], hi: Sequence[float], n: Sequence[int],
+                  holes: Sequence[object] = (), jitter: float = 0.0,
+                  seed: int = 0) -> "SimplexGrid":
+        """Lattice triangulation of a box with cells removed wherever the
+        cell centroid falls inside any of the ``holes`` (``task.Area``
+        objects) — notches, canyons, cavities. The result is an explicit
+        (possibly non-convex) complex; unused points are dropped.
+        Dimension-generic (tri in 2D, tet in 3D)."""
+        base = SimplexGrid.box(lo, hi, n, jitter=jitter, seed=seed)
+        if not holes:
+            return base
+        centroids = base.points[base.cells].mean(axis=1)
+        keep = np.ones(len(base.cells), bool)
+        for hole in holes:
+            keep &= ~hole.contains(centroids)
+        cells = base.cells[keep]
+        used = np.unique(cells)
+        remap = -np.ones(base.npoints, np.int64)
+        remap[used] = np.arange(len(used))
+        return SimplexGrid.from_cells(base.points[used], remap[cells])
+
     def hull_mask(self) -> np.ndarray:
         """Boolean mask of border nodes: vertices of faces that belong to
         exactly one cell. Correct for any simplicial complex (non-convex

@@ -35,8 +35,9 @@ def _build_parser():
     r.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace into <outdir>/trace")
     r.add_argument("--kernel", default=None,
-                   choices=["jnp", "pallas", "pallas_fused"],
-                   help="compute path (default: task's, usually jnp)")
+                   choices=["auto", "jnp", "pallas", "pallas_fused"],
+                   help="compute path (default: task's, usually 'auto' = "
+                        "fused Pallas on TPU, jnp elsewhere)")
     r.add_argument("--mesh", default=None, metavar="NX[,NY]",
                    help="distribute over a device mesh of this shape "
                         "(shard_map fused kernel when the task qualifies, "

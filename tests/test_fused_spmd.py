@@ -176,3 +176,31 @@ def test_engine_gspmd_pallas_guard():
     sh = NamedSharding(mesh, P(None, "sx", "sy", None))
     with pytest.raises(ValueError, match="GSPMD does not partition"):
         Engine(dataclasses.replace(task, kernel="pallas"), sharding=sh)
+
+
+def test_fused_spmd_single_device_dispatch(rng):
+    """On a 1-device mesh the production step dispatches to the single-chip
+    fused kernel (no ring-split tax at the weak-scaling anchor); both the
+    dispatch and the forced interior/ring machinery must match the global
+    jnp step."""
+    shape = (32, 16, 16)
+    model, u, mat, dt = _problem(rng, shape)
+    h = (1.0, 1.1, 0.9)
+    mesh = domain_mesh(3, devices=jax.devices("cpu")[:1])
+    mext = extended_mstack(model, mat, mesh, 2)
+    fast = make_fused_spmd_step(model, mesh, dt, h, 2, BORDERS, bx=4, by=8)
+    ring = make_fused_spmd_step(model, mesh, dt, h, 2, BORDERS, bx=4, by=8,
+                                force_spmd=True)
+    uf = jax.device_put(u, field_sharding(mesh, 3))
+    ur = jax.device_put(u, field_sharding(mesh, 3))
+    want = u
+    for n in range(2):
+        axes = (0, 1, 2) if n % 2 == 0 else (2, 1, 0)
+        uf = fast(uf, mext, axes)
+        ur = ring(ur, mext, axes)
+        want = step(model, want, mat, dt, h, 2, BORDERS, axes)
+    for got in (np.asarray(uf), np.asarray(ur)):
+        scale = np.abs(np.asarray(want)).reshape(model.ncomp, -1).max(1) + 1e-30
+        err = (np.abs(got - np.asarray(want)).reshape(model.ncomp, -1).max(1)
+               / scale)
+        assert err.max() < 2e-6, f"normalized err {err}"

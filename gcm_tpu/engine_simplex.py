@@ -68,6 +68,7 @@ class SimplexEngine:
         correctors: Sequence[object] = (),
         nsteps: Optional[int] = None,
         name: str = "simplex",
+        order: int = 1,
     ):
         self.grid = grid
         self.model = get_model(model_name)
@@ -88,7 +89,9 @@ class SimplexEngine:
             self.border_kind = build_node_borders(grid, borders, default)
         else:
             self.border_kind = border_kind
-        self.tables = _foot_tables(grid, self.model, self.mat, self.dt)
+        self.order = order
+        self.tables = _foot_tables(grid, self.model, self.mat, self.dt,
+                                   order=order)
         self.u = jnp.asarray(
             u0 if u0 is not None
             else np.zeros((self.model.ncomp, grid.npoints)),
@@ -141,6 +144,7 @@ class SimplexEngine:
                              if task.detectors is not None else None),
             correctors=task.correctors,
             name=task.name,
+            order=task.order,
         )
         eng.nsteps = task.time.steps_for(eng.dt)
         eng.snapshots = task.snapshots
@@ -349,6 +353,7 @@ class SimplexMultiEngine:
         model_name: str = "elastic2d",
         cfl: float = 0.8,
         dtype=jnp.float32,
+        order: int = 1,
     ):
         from scipy.spatial import cKDTree
 
@@ -374,7 +379,8 @@ class SimplexMultiEngine:
 
         for name, b in bodies.items():
             mat = self.mats[name]
-            self.tables[name] = _foot_tables(b.grid, self.model, mat, self.dt)
+            self.tables[name] = _foot_tables(b.grid, self.model, mat, self.dt,
+                                             order=order)
             if b.borders is not None:
                 from gcm_tpu.solver.simplex_gcm import build_node_borders
                 from gcm_tpu.task import BorderSpec
@@ -584,10 +590,10 @@ def _material_fields(material, npoints: int, dtype):
         xp=jnp, dtype=dtype)
 
 
-def _foot_tables(grid: SimplexGrid, model, mat, dt: float):
+def _foot_tables(grid: SimplexGrid, model, mat, dt: float, order: int = 1):
     if isinstance(mat, MaterialFields):
         waves = {"p": np.asarray(mat.cp)}
         if float(np.asarray(mat.cs).max()) > 0:
             waves["s"] = np.asarray(mat.cs)
-        return build_foot_tables(grid, waves, dt)
-    return build_foot_tables_for_model(grid, model, mat, dt)
+        return build_foot_tables(grid, waves, dt, order=order)
+    return build_foot_tables_for_model(grid, model, mat, dt, order=order)

@@ -279,9 +279,50 @@ class FootTables:
     outside: np.ndarray
 
 
+def _mls_quadratic_weights(points: np.ndarray, feet: np.ndarray,
+                           nbr_idx: np.ndarray, ridge: float = 1e-10
+                           ) -> np.ndarray:
+    """Least-squares quadratic reconstruction weights, vectorized.
+
+    For each foot, fit p in span{1, x_a, x_a x_b} over its K neighbor nodes
+    (normal equations with a tiny ridge) and evaluate at the foot:
+    ``w = A (A^T A + ridge I)^{-1} e_0`` with A the scaled monomial matrix.
+    Exact on degree<=2 polynomials when the neighborhood determines them —
+    the static-table analogue of the structured order-2 stencil
+    (SURVEY.md §0.3 step 2: order 2+ interpolation on simplex grids).
+    """
+    rel = points[nbr_idx] - feet[:, None, :]          # [N, K, dim]
+    scale = np.maximum(np.linalg.norm(rel, axis=2).mean(axis=1), 1e-300)
+    rel = rel / scale[:, None, None]
+    dim = rel.shape[2]
+    cols = [np.ones(rel.shape[:2])]
+    cols += [rel[:, :, a] for a in range(dim)]
+    cols += [rel[:, :, a] * rel[:, :, b]
+             for a in range(dim) for b in range(a, dim)]
+    A = np.stack(cols, axis=2)                        # [N, K, M]
+    M = A.shape[2]
+    G = np.einsum("nkm,nkl->nml", A, A) + ridge * np.eye(M)
+    e0 = np.zeros((len(A), M, 1))
+    e0[:, 0, 0] = 1.0
+    try:
+        X = np.linalg.solve(G, e0)[..., 0]            # [N, M]
+    except np.linalg.LinAlgError:
+        X = np.linalg.lstsq(
+            G.reshape(-1, M, M).astype(np.float64),
+            e0, rcond=None)[0][..., 0]
+    return np.einsum("nkm,nm->nk", A, X)
+
+
 def _locate_feet(grid: SimplexGrid, locate, cells_arr, c: np.ndarray,
-                 axis: int, direction: int, dt: float) -> FootTables:
-    """Locate + barycentric-weight the feet ``x + direction*c*dt*e_axis``."""
+                 axis: int, direction: int, dt: float,
+                 order: int = 1) -> FootTables:
+    """Locate + barycentric-weight the feet ``x + direction*c*dt*e_axis``.
+
+    ``order>=2`` upgrades interior feet to K-point least-squares quadratic
+    reconstruction tables (:func:`_mls_quadratic_weights`); rows whose
+    neighborhood fails the order conditions fall back to the barycentric
+    weights (padded to K columns), and border feet behave as at order 1.
+    """
     N, dim = grid.npoints, grid.dim
     self_ids = np.arange(N, dtype=np.int32)
     feet = grid.points.copy()
@@ -309,6 +350,36 @@ def _locate_feet(grid: SimplexGrid, locate, cells_arr, c: np.ndarray,
     weights = weights / wsum
     ids = np.where(outside[:, None], self_ids[:, None], verts)
     weights = np.where(outside[:, None], 0.0, weights)
+
+    if order >= 2:
+        from scipy.spatial import cKDTree
+
+        K = 10 if dim == 2 else 16
+        K = min(K, N)
+        _, nbr = cKDTree(grid.points).query(feet, k=K)
+        if K == 1:
+            nbr = nbr[:, None]
+        w2 = _mls_quadratic_weights(grid.points, feet, nbr)
+        # order conditions (scaled coords are O(1)): sum w = 1, and first
+        # and second moments about the foot vanish — else fall back
+        rel = grid.points[nbr] - feet[:, None, :]
+        sc = np.maximum(np.linalg.norm(rel, axis=2).mean(axis=1), 1e-300)
+        rel = rel / sc[:, None, None]
+        ok = np.abs(w2.sum(1) - 1.0) < 1e-6
+        for a in range(dim):
+            ok &= np.abs((w2 * rel[:, :, a]).sum(1)) < 1e-6
+            for b in range(a, dim):
+                ok &= np.abs(
+                    (w2 * rel[:, :, a] * rel[:, :, b]).sum(1)) < 1e-6
+        use2 = ok & ~outside
+        # pad the order-1 ids' fill columns with the node itself
+        pad_ids = np.concatenate(
+            [ids, np.repeat(self_ids[:, None], K - ids.shape[1], axis=1)],
+            axis=1)
+        w_pad = np.pad(weights, ((0, 0), (0, K - weights.shape[1])))
+        ids = np.where(use2[:, None], nbr, pad_ids)
+        weights = np.where(use2[:, None], w2, w_pad)
+
     return FootTables(
         ids=ids.astype(np.int32),
         # float64: the pair transform multiplies weights by the
@@ -345,9 +416,14 @@ def build_foot_tables(
     speeds: Dict[str, np.ndarray],     # wave -> per-node speed [N]
     dt: float,
     waves: Sequence[str] = ("p", "s"),
+    order: int = 1,
 ) -> Dict[Tuple[int, str, int], FootTables]:
     """Precompute containing-cell + barycentric tables for every
     (axis, wave, direction): foot = x + direction * c * dt * e_axis.
+
+    ``order=1``: barycentric over the containing cell (first-order).
+    ``order>=2``: K-point least-squares quadratic reconstruction
+    (second-order; see :func:`_mls_quadratic_weights`).
 
     Note the sign convention: the invariant riding speed −c has its foot at
     ``x + c dt e_a`` (direction +1); speed +c at direction −1 — identical to
@@ -364,12 +440,12 @@ def build_foot_tables(
                 continue
             for direction in (+1, -1):
                 out[(a, w, direction)] = _locate_feet(
-                    grid, locate, cells_arr, c, a, direction, dt)
+                    grid, locate, cells_arr, c, a, direction, dt, order)
     return out
 
 
 def build_foot_tables_for_model(
-    grid: SimplexGrid, model, mat, dt: float
+    grid: SimplexGrid, model, mat, dt: float, order: int = 1
 ) -> Dict[Tuple[int, int, int], FootTables]:
     """Per-pair foot tables keyed ``(axis, pair_index, direction)``.
 
@@ -388,5 +464,5 @@ def build_foot_tables_for_model(
                 continue
             for direction in (+1, -1):
                 out[(a, k, direction)] = _locate_feet(
-                    grid, locate, cells_arr, c, a, direction, dt)
+                    grid, locate, cells_arr, c, a, direction, dt, order)
     return out

@@ -132,17 +132,35 @@ class MultiBodyEngine:
 
             self._raw_stage = _raw
 
-        # bond masks for fracture-enabled contacts (overlap slab shape)
+        # non-conforming interfaces: bodies whose face grids do not share
+        # collocated nodes get static interpolation maps built once here
+        # (VERDICT r2 missing #4); explicit lo/span stays on the collocated
+        # offset path
+        from gcm_tpu.solver.contact_nc import (
+            build_interface_maps, faces_conform)
+
+        self.ncmaps: Dict[int, object] = {}
+        for ci, c in enumerate(self.contacts):
+            ga, gb = bodies[c.body_a].grid, bodies[c.body_b].grid
+            if c.span is None and not faces_conform(ga, gb, c.axis):
+                self.ncmaps[ci] = build_interface_maps(ga, gb, c.axis)
+
+        # bond masks for fracture-enabled contacts (overlap slab shape;
+        # non-conforming contacts carry per-side masks)
         self.bonded: Dict[int, jnp.ndarray] = {}
         for ci, c in enumerate(self.contacts):
             if c.tensile_strength is not None:
-                if c.span is not None:
-                    slab = tuple(c.span)
+                if ci in self.ncmaps:
+                    from gcm_tpu.solver.contact_nc import init_bonded_nc
+
+                    self.bonded[ci] = init_bonded_nc(self.ncmaps[ci], dtype)
+                elif c.span is not None:
+                    self.bonded[ci] = jnp.ones(tuple(c.span), dtype=dtype)
                 else:
                     shape_a = bodies[c.body_a].grid.shape
                     slab = tuple(s for a, s in enumerate(shape_a)
                                  if a != c.axis)
-                self.bonded[ci] = jnp.ones(slab, dtype=dtype)
+                    self.bonded[ci] = jnp.ones(slab, dtype=dtype)
 
         # detectors (per body)
         self._det_idx: Dict[str, np.ndarray] = {}
@@ -186,7 +204,8 @@ class MultiBodyEngine:
 
     def load_state(self, state: Dict) -> None:
         self.us = {k: jnp.asarray(v) for k, v in state["us"].items()}
-        self.bonded = {int(k): jnp.asarray(v)
+        # non-conforming contacts store per-side mask dicts, so tree-map
+        self.bonded = {int(k): jax.tree.map(jnp.asarray, v)
                        for k, v in state["bonded"].items()}
         if "aux" in state:
             self.auxs = jax.tree.map(jnp.asarray, dict(state["aux"]))
@@ -206,12 +225,12 @@ class MultiBodyEngine:
 
             us, bonded = step_multi_fast(
                 self.model, us, self.mats, self.borders, self.contacts,
-                bonded, self._raw_stage, axes,
+                bonded, self._raw_stage, axes, self.ncmaps,
             )
         else:
             us, bonded = step_multi(
                 self.model, us, self.mats, self.dt, self.hs, self.order,
-                self.borders, self.contacts, bonded, axes,
+                self.borders, self.contacts, bonded, axes, self.ncmaps,
             )
         for k, (name, node, comp, _) in enumerate(self._srcs):
             us = dict(us)
@@ -291,7 +310,8 @@ class MultiBodyEngine:
                 trace_out[k] = tr
         return MultiRunResult(
             bodies={k: np.asarray(jax.device_get(v)) for k, v in us.items()},
-            bonded={k: np.asarray(jax.device_get(v)) for k, v in bonded.items()},
+            bonded={k: jax.tree.map(lambda a: np.asarray(jax.device_get(a)), v)
+                    for k, v in bonded.items()},
             t=nsteps * self.dt,
             nsteps=nsteps,
             dt=self.dt,
@@ -315,5 +335,12 @@ class MultiBodyEngine:
                 snapshot_fields(self.model, u),
             )
         for ci, mask in self.bonded.items():
-            np.save(os.path.join(outdir, f"contact{ci}_bonded_{tag}.npy"),
-                    np.asarray(jax.device_get(mask)))
+            if isinstance(mask, dict):   # non-conforming: per-side masks
+                for side, m in mask.items():
+                    np.save(
+                        os.path.join(
+                            outdir, f"contact{ci}_bonded_{side}_{tag}.npy"),
+                        np.asarray(jax.device_get(m)))
+            else:
+                np.save(os.path.join(outdir, f"contact{ci}_bonded_{tag}.npy"),
+                        np.asarray(jax.device_get(mask)))

@@ -9,11 +9,14 @@ jit covers the whole system and XLA schedules bodies concurrently.
 
 Bodies must share the model and interpolation order; each body has its own
 grid shape, materials (isotropic or orthotropic — anything exposing
-``axis_view``), and border conditions. Contact interfaces are
-grid-conforming (collocated nodes, equal spacing) but may be **offset
-sub-rectangles** of the two faces (ContactSpec lo_a/lo_b/span): face nodes
-outside the overlap keep the body's own border condition, so stepped /
-partially-overlapping assemblies work. Friction contacts (Coulomb cap)
+``axis_view``), and border conditions. Contact interfaces may be
+grid-conforming (collocated nodes — optionally **offset sub-rectangles**
+of the two faces via ContactSpec lo_a/lo_b/span: face nodes outside the
+overlap keep the body's own border condition, so stepped assemblies work)
+or **non-conforming** (mismatched spacing/alignment): pass static
+interface-interpolation maps per contact index (``ncmaps``, built by
+solver.contact_nc.build_interface_maps) and the interface algebra is
+solved pointwise per side through them. Friction contacts (Coulomb cap)
 are solved normal-pair-first.
 """
 
@@ -47,8 +50,10 @@ def stage_multi(
     borders: Dict[str, Dict[Tuple[int, int], BorderSpec]],
     contacts: Sequence[ContactSpec],
     bonded: BondedState,
+    ncmaps: Optional[Dict[int, object]] = None,
 ) -> Tuple[BodyStates, BondedState]:
     """One sweep along ``axis`` for every body, with contact coupling."""
+    ncmaps = ncmaps or {}
     # 1. raw invariant updates per body
     pair_ws: Dict[str, Dict[int, tuple]] = {}
     views = {}
@@ -64,8 +69,8 @@ def stage_multi(
     # overlap sub-rectangle (step 3 runs after step 2), so the exposed part
     # of a stepped face keeps e.g. its free surface.
     full_contact_faces = set()
-    for c in contacts:
-        if c.axis == axis and c.span is None:
+    for ci, c in enumerate(contacts):
+        if c.axis == axis and c.span is None and ci not in ncmaps:
             full_contact_faces.add((c.body_a, axis, 1))
             full_contact_faces.add((c.body_b, axis, 0))
 
@@ -89,7 +94,7 @@ def stage_multi(
     # friction/unilateral/fracture logic; overwrites the overlap sub-slabs)
     new_bonded = dict(bonded)
     for ci, c in enumerate(contacts):
-        if c.axis != axis:
+        if c.axis != axis or ci in ncmaps:
             continue
         pa, pb, nb = apply_contact(
             c, model.dim, pair_ws[c.body_a], pair_ws[c.body_b],
@@ -112,6 +117,22 @@ def stage_multi(
             comps[p.vel] = B_new
         apply_zero_invariants(model, u, comps, view, axis)
         out[name] = jnp.stack([comps.get(i, u[i]) for i in range(model.ncomp)])
+
+    # 5. non-conforming contacts: per-side mapped solves as post-fixups
+    # (the reconstruction is invertible, so this is the same composition
+    # point as stage_multi_fast's)
+    for ci, c in enumerate(contacts):
+        if c.axis != axis or ci not in ncmaps:
+            continue
+        from gcm_tpu.solver.contact_nc import apply_contact_nc_post
+
+        ua, ub, nb = apply_contact_nc_post(
+            c, model, ncmaps[ci], us[c.body_a], out[c.body_a],
+            us[c.body_b], out[c.body_b],
+            views[c.body_a], views[c.body_b], bonded.get(ci))
+        out[c.body_a], out[c.body_b] = ua, ub
+        if nb is not None:
+            new_bonded[ci] = nb
     return out, new_bonded
 
 
@@ -124,6 +145,7 @@ def stage_multi_fast(
     contacts: Sequence[ContactSpec],
     bonded: BondedState,
     raw_stage,
+    ncmaps: Optional[Dict[int, object]] = None,
 ) -> Tuple[BodyStates, BondedState]:
     """One sweep with per-body RAW kernels + post-fixups (the fast path).
 
@@ -139,12 +161,13 @@ def stage_multi_fast(
     from gcm_tpu.solver.boundary import apply_borders_post
     from gcm_tpu.solver.contact import apply_contact_post
 
+    ncmaps = ncmaps or {}
     st = model.stage(axis)
     views = {name: mats[name].axis_view(axis, st) for name in us}
 
     full_contact_faces = set()
-    for c in contacts:
-        if c.axis == axis and c.span is None:
+    for ci, c in enumerate(contacts):
+        if c.axis == axis and c.span is None and ci not in ncmaps:
             full_contact_faces.add((c.body_a, axis, 1))
             full_contact_faces.add((c.body_b, axis, 0))
 
@@ -160,10 +183,18 @@ def stage_multi_fast(
     for ci, c in enumerate(contacts):
         if c.axis != axis:
             continue
-        ua, ub, nb = apply_contact_post(
-            c, model, us[c.body_a], out[c.body_a],
-            us[c.body_b], out[c.body_b],
-            views[c.body_a], views[c.body_b], bonded.get(ci))
+        if ci in ncmaps:
+            from gcm_tpu.solver.contact_nc import apply_contact_nc_post
+
+            ua, ub, nb = apply_contact_nc_post(
+                c, model, ncmaps[ci], us[c.body_a], out[c.body_a],
+                us[c.body_b], out[c.body_b],
+                views[c.body_a], views[c.body_b], bonded.get(ci))
+        else:
+            ua, ub, nb = apply_contact_post(
+                c, model, us[c.body_a], out[c.body_a],
+                us[c.body_b], out[c.body_b],
+                views[c.body_a], views[c.body_b], bonded.get(ci))
         out[c.body_a], out[c.body_b] = ua, ub
         if nb is not None:
             new_bonded[ci] = nb
@@ -179,12 +210,13 @@ def step_multi_fast(
     bonded: BondedState,
     raw_stage,
     axes: Optional[Sequence[int]] = None,
+    ncmaps: Optional[Dict[int, object]] = None,
 ) -> Tuple[BodyStates, BondedState]:
     if axes is None:
         axes = range(model.dim)
     for a in axes:
         us, bonded = stage_multi_fast(
-            model, us, mats, a, borders, contacts, bonded, raw_stage)
+            model, us, mats, a, borders, contacts, bonded, raw_stage, ncmaps)
     return us, bonded
 
 
@@ -199,11 +231,13 @@ def step_multi(
     contacts: Sequence[ContactSpec],
     bonded: BondedState,
     axes: Optional[Sequence[int]] = None,
+    ncmaps: Optional[Dict[int, object]] = None,
 ) -> Tuple[BodyStates, BondedState]:
     if axes is None:
         axes = range(model.dim)
     for a in axes:
         us, bonded = stage_multi(
-            model, us, mats, dt, hs, a, order, borders, contacts, bonded
+            model, us, mats, dt, hs, a, order, borders, contacts, bonded,
+            ncmaps,
         )
     return us, bonded

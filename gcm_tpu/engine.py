@@ -107,8 +107,9 @@ class Engine:
                 from gcm_tpu.parallel.fused_spmd import (
                     extended_mstack, make_fused_spmd_step)
 
+                mdt = jnp.bfloat16 if task.mat_dtype == "bf16" else dtype
                 self._mext = extended_mstack(
-                    self.model, self.mat, mesh, task.order, dtype=dtype)
+                    self.model, self.mat, mesh, task.order, dtype=mdt)
                 self._spmd_step = make_fused_spmd_step(
                     self.model, mesh, self.dt, task.grid.h, task.order,
                     task.borders)
@@ -119,8 +120,9 @@ class Engine:
                 from gcm_tpu.parallel.fused_spmd import (
                     extended_mstack_2d, make_fused_spmd_step_2d)
 
+                mdt = jnp.bfloat16 if task.mat_dtype == "bf16" else dtype
                 self._mext = extended_mstack_2d(
-                    self.model, self.mat, mesh, dtype=dtype)
+                    self.model, self.mat, mesh, dtype=mdt)
                 self._spmd_step = make_fused_spmd_step_2d(
                     self.model, mesh, self.dt, task.grid.h, task.order,
                     task.borders)
@@ -167,6 +169,10 @@ class Engine:
                 self._mstack = stack_mats(self.model, self.mat, compact=True)
             else:
                 self._mstack = stack_mats_ortho(self.model, self.mat)
+            if task.mat_dtype == "bf16":
+                # half-traffic material stream; sweeps stay f32 (the
+                # kernels upcast windows right after the DMA)
+                self._mstack = self._mstack.astype(jnp.bfloat16)
             self._fused_fn = fused_step if self.model.dim == 3 \
                 else fused_step_2d
 

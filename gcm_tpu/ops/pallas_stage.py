@@ -462,12 +462,17 @@ def pallas_stage(
     f32 = jax.ShapeDtypeStruct(shape, u.dtype)
     out_shape = [f32] * (2 * len(st.pairs) + len(st.zeros))
 
+    # non-TPU backends (CPU tests, dryruns) run in interpret mode; omit the
+    # kwarg on TPU so test harnesses can still monkeypatch pallas_call
+    interp_kw = (
+        {"interpret": True} if jax.default_backend() != "tpu" else {})
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        **interp_kw,
     )(*inputs)
 
     # reassemble the full state vector

@@ -224,7 +224,8 @@ def _pallas_build(kernel, kwargs, interpret: bool):
 
 
 def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
-                        bx, by, nxl, nyl, nz, nm, interpret: bool):
+                        bx, by, nxl, nyl, nz, nm, interpret: bool,
+                        mdtype=jnp.float32):
     """Pallas call over interior tiles (ix in [1,ntx-1), iy in [1,nty-1)).
 
     Operands: (u_local, mext) only — data-independent of the halo exchange,
@@ -291,7 +292,7 @@ def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
         out_shape=jax.ShapeDtypeStruct((C, nxl, nyl, nz), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, C, X, Y, nz), dtype),
-            pltpu.VMEM((2, nm, X, Y, nz), dtype),
+            pltpu.VMEM((2, nm, X, Y, nz), mdtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -302,7 +303,8 @@ def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
 
 
 def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
-                    bx, by, nxl, nyl, nz, nm, interpret: bool):
+                    bx, by, nxl, nyl, nz, nm, interpret: bool,
+                    mdtype=jnp.float32):
     """Pallas call over the perimeter tiles, consuming the halo slabs and
     writing into the aliased interior-kernel buffer."""
     C = model.ncomp
@@ -444,7 +446,7 @@ def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
         input_output_aliases={7: 0},
         scratch_shapes=[
             pltpu.VMEM((2, C, X, Y, nz), dtype),
-            pltpu.VMEM((2, nm, X, Y, nz), dtype),
+            pltpu.VMEM((2, nm, X, Y, nz), mdtype),
             pltpu.SemaphoreType.DMA((2, 9)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -534,14 +536,15 @@ def make_fused_spmd_step(
         if ntx > 2 and nty > 2:
             interior = _make_interior_call(
                 model, order, dtohs, borders_z, axes,
-                bx_, by_, nxl, nyl, nz, nm, interpret)
+                bx_, by_, nxl, nyl, nz, nm, interpret,
+                mdtype=mext.dtype)
             base = interior(u, mext)
         else:
             # every tile is on the ring; seed the aliased buffer cheaply
             base = jnp.zeros((C, nxl, nyl, nz), u.dtype)
         ring = _make_ring_call(
             model, order, dtohs, borders, axes,
-            bx_, by_, nxl, nyl, nz, nm, interpret)
+            bx_, by_, nxl, nyl, nz, nm, interpret, mdtype=mext.dtype)
         return ring(u, mext, xlo, xhi, ylo, yhi, flags, base)
 
     spec_u = P(None, names[0], names[1], None)
@@ -609,7 +612,7 @@ def extended_mstack_2d(
 
 def _make_2d_spmd_call(model: Model, order: int, dtohs, borders, axes,
                        bx: int, nxl: int, ny: int, nm: int,
-                       which: str, interpret: bool):
+                       which: str, interpret: bool, mdtype=jnp.float32):
     """Pallas call over the interior x-tiles (``which='interior'``) or the
     two edge tiles (``which='ring'``) of one shard's 2D block.
 
@@ -710,7 +713,7 @@ def _make_2d_spmd_call(model: Model, order: int, dtohs, borders, axes,
         out_shape=jax.ShapeDtypeStruct((C, nxl, ny), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, C, X, ny), dtype),
-            pltpu.VMEM((2, nm, X, ny), dtype),
+            pltpu.VMEM((2, nm, X, ny), mdtype),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -785,13 +788,13 @@ def make_fused_spmd_step_2d(
         if ntx > 2:
             interior = _make_2d_spmd_call(
                 model, order, dtohs, borders, axes, bx_, nxl, ny, nm,
-                "interior", interpret)
+                "interior", interpret, mdtype=mext.dtype)
             base = interior(u, mext)
         else:
             base = jnp.zeros((C, nxl, ny), u.dtype)
         ring = _make_2d_spmd_call(
             model, order, dtohs, borders, axes, bx_, nxl, ny, nm,
-            "ring", interpret)
+            "ring", interpret, mdtype=mext.dtype)
         return ring(u, mext, xlo, xhi, flags, base)
 
     spec_u = P(None, name, None)

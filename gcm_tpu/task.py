@@ -437,6 +437,12 @@ class Task:
     #: the default a user gets, VERDICT r2 weak #4), and to the jnp
     #: semantics-of-record path elsewhere; explicit values pin the path.
     kernel: str = "auto"               # "auto" | "jnp" | "pallas" | "pallas_fused"
+    #: HBM dtype of the fused kernels' static material stack. "bf16" halves
+    #: the material DMA stream (~20 of ~117 B/pt on the 3D flagship path);
+    #: all sweep arithmetic stays f32 (windows are upcast right after the
+    #: DMA). Opt-in: materials are then rounded to 8-bit mantissa (~0.4%),
+    #: which perturbs wave speeds/impedances by the same relative amount.
+    mat_dtype: str = "f32"             # "f32" | "bf16"
     scan_unroll: int = 1               # steps-loop unroll inside the jitted scan
 
     def border(self, axis: int, side: int) -> BorderSpec:

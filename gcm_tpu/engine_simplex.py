@@ -397,15 +397,30 @@ class SimplexMultiEngine:
                 else np.zeros((self.model.ncomp, b.grid.npoints)),
                 dtype=dtype)
 
-        # node pairing + bond masks per contact
+        # node pairing + bond masks per contact; bodies whose hulls are NOT
+        # collocated across the WHOLE interface (independently meshed,
+        # h vs h/2 — shared corner nodes alone don't count) use static
+        # interface-interpolation maps and per-side solves
+        # (solver.simplex_contact non-conforming path)
+        from gcm_tpu.solver.simplex_contact import (
+            init_simplex_bonded_nc, interface_is_conforming,
+            pair_contact_maps)
+
         self._pairs: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        self._ncmaps: Dict[int, object] = {}
         self.bonded: Dict[int, jnp.ndarray] = {}
         for ci, c in enumerate(self.contacts):
-            ia, ib = pair_contact_nodes(bodies[c.body_a].grid,
-                                        bodies[c.body_b].grid)
-            self._pairs[ci] = (jnp.asarray(ia), jnp.asarray(ib))
-            if c.tensile_strength is not None:
-                self.bonded[ci] = jnp.ones((len(ia),), dtype=dtype)
+            ga, gb = bodies[c.body_a].grid, bodies[c.body_b].grid
+            maps = pair_contact_maps(ga, gb, c.axis)
+            if interface_is_conforming(maps, ga, gb):
+                ia, ib = pair_contact_nodes(ga, gb)
+                self._pairs[ci] = (jnp.asarray(ia), jnp.asarray(ib))
+                if c.tensile_strength is not None:
+                    self.bonded[ci] = jnp.ones((len(ia),), dtype=dtype)
+            else:
+                self._ncmaps[ci] = maps
+                if c.tensile_strength is not None:
+                    self.bonded[ci] = init_simplex_bonded_nc(maps, dtype)
 
         # sources / detectors / correctors per body (parity with the
         # structured MultiBodyEngine — VERDICT r2 missing #5)
@@ -442,7 +457,8 @@ class SimplexMultiEngine:
 
     def load_state(self, state: Dict) -> None:
         self.us = {k: jnp.asarray(v) for k, v in state["us"].items()}
-        self.bonded = {int(k): jnp.asarray(v)
+        # non-conforming contacts store per-side mask dicts, so tree-map
+        self.bonded = {int(k): jax.tree.map(jnp.asarray, v)
                        for k, v in state["bonded"].items()}
         if "aux" in state:
             self.auxs = jax.tree.map(jnp.asarray, dict(state["aux"]))
@@ -468,11 +484,21 @@ class SimplexMultiEngine:
                     continue
                 va = self.mats[c.body_a].axis_view(axis, model.stage(axis))
                 vb = self.mats[c.body_b].axis_view(axis, model.stage(axis))
-                ia, ib = self._pairs[ci]
-                ua, ub, nb = apply_simplex_contact_post(
-                    c, model, olds[c.body_a], us[c.body_a],
-                    olds[c.body_b], us[c.body_b], va, vb, ia, ib,
-                    bonded.get(ci))
+                if ci in self._ncmaps:
+                    from gcm_tpu.solver.simplex_contact import (
+                        apply_simplex_contact_nc_post)
+
+                    ua, ub, nb = apply_simplex_contact_nc_post(
+                        c, model, self._ncmaps[ci],
+                        olds[c.body_a], us[c.body_a],
+                        olds[c.body_b], us[c.body_b], va, vb,
+                        bonded.get(ci))
+                else:
+                    ia, ib = self._pairs[ci]
+                    ua, ub, nb = apply_simplex_contact_post(
+                        c, model, olds[c.body_a], us[c.body_a],
+                        olds[c.body_b], us[c.body_b], va, vb, ia, ib,
+                        bonded.get(ci))
                 us[c.body_a], us[c.body_b] = ua, ub
                 if nb is not None:
                     bonded[ci] = nb
@@ -556,7 +582,9 @@ class SimplexMultiEngine:
                 trace_out[k] = tr
         return SimplexMultiRunResult(
             bodies={k: np.asarray(jax.device_get(v)) for k, v in us.items()},
-            bonded={k: np.asarray(jax.device_get(v))
+            # non-conforming contacts carry per-side mask dicts
+            bonded={k: jax.tree.map(
+                        lambda a: np.asarray(jax.device_get(a)), v)
                     for k, v in bonded.items()},
             nsteps=nsteps, dt=self.dt, wall_seconds=wall,
             points_per_second=npts * nrun / max(wall, 1e-12),

@@ -59,7 +59,8 @@ def main(argv=None) -> int:
 
         for name in list_scenarios():
             print(name)
-        print("elastic3d_contact  (multi-body; via gcm_tpu.engine_multi)")
+        for name in sorted(_MULTI_SCENARIOS):
+            print(f"{name}  (multi-body; via gcm_tpu.engine_multi)")
         return 0
 
     if args.cmd == "bench":
@@ -86,7 +87,7 @@ def main(argv=None) -> int:
     if args.nsteps is not None:
         kw["nsteps"] = args.nsteps
 
-    if args.scenario == "elastic3d_contact":
+    if args.scenario in _MULTI_SCENARIOS:
         return _run_contact(args, kw)
     if args.scenario.startswith("simplex"):
         return _run_simplex(args, kw)
@@ -140,20 +141,57 @@ def main(argv=None) -> int:
     return 0
 
 
-def _run_contact(args, kw) -> int:
-    from gcm_tpu.engine_multi import MultiBodyEngine
-    from gcm_tpu.scenarios import elastic3d_contact
+def _multi_scenarios():
+    from gcm_tpu.scenarios import elastic2d_basin_refined, elastic3d_contact
 
-    bodies, contacts = elastic3d_contact(**kw)
+    return {"elastic3d_contact": elastic3d_contact,
+            "elastic2d_basin_refined": elastic2d_basin_refined}
+
+
+class _LazyMulti:
+    """Name membership without importing scenarios at module import."""
+
+    def __contains__(self, name):
+        return name in _multi_scenarios()
+
+    def __iter__(self):
+        return iter(_multi_scenarios())
+
+
+_MULTI_SCENARIOS = _LazyMulti()
+
+
+def _run_contact(args, kw) -> int:
+    import numpy as np
+
+    from gcm_tpu.engine_multi import MultiBodyEngine
+
+    bodies, contacts = _multi_scenarios()[args.scenario](**kw)
     eng = MultiBodyEngine(bodies, contacts)
     res = eng.run()
     eng.write_snapshots(args.outdir)
+    if res.traces:
+        from gcm_tpu.snapshot.seismo import save_seismograms
+
+        for name, tr in res.traces.items():
+            task = bodies[name]
+            save_seismograms(args.outdir, task.name, tr, res.dt,
+                             task.detectors.points, eng.model.comp_names)
+
+    def broken(mask):
+        # non-conforming contacts carry per-side mask dicts
+        if isinstance(mask, dict):
+            return float(np.mean([1.0 - np.asarray(m).mean()
+                                  for m in mask.values()]))
+        return float(1.0 - np.asarray(mask).mean())
+
     print(json.dumps({
-        "scenario": "elastic3d_contact",
+        "scenario": args.scenario,
         "nsteps": res.nsteps,
         "dt": res.dt,
-        "broken_fraction": round(float(1.0 - res.bonded[0].mean()), 4)
+        "broken_fraction": round(broken(res.bonded[0]), 4)
         if res.bonded else None,
+        "nonconforming_contacts": sorted(eng.ncmaps),
         "wall_seconds": round(res.wall_seconds, 3),
         "points_per_second": round(res.points_per_second, 1),
         "outdir": args.outdir,

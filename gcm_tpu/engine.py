@@ -371,6 +371,7 @@ class Engine:
         snapdir = os.path.join(outdir, task.snapshots.directory)
 
         cb = None
+        series = []
         if task.snapshots.every:
             os.makedirs(snapdir, exist_ok=True)
 
@@ -379,10 +380,12 @@ class Engine:
                 if task.snapshots.fields:
                     keep = set(task.snapshots.fields) | {"velocity"}
                     fields = {k: v for k, v in fields.items() if k in keep}
+                fname = f"{task.name}_{step:06d}.vti"
                 write_vti(
-                    os.path.join(snapdir, f"{task.name}_{step:06d}.vti"),
+                    os.path.join(snapdir, fname),
                     task.grid.shape, task.grid.h, task.grid.origin, fields,
                 )
+                series.append((step * self.dt, fname))
                 if checkpoint_every and step % checkpoint_every == 0:
                     from gcm_tpu.utils.checkpoint import save_checkpoint
 
@@ -392,6 +395,11 @@ class Engine:
                     )
 
         res = self.run(snapshot_cb=cb)
+        if series:
+            from gcm_tpu.snapshot.vtk import write_pvd
+
+            # ParaView collection: animate the series over physical time
+            write_pvd(os.path.join(snapdir, f"{task.name}.pvd"), series)
         if res.traces is not None and task.detectors is not None:
             save_seismograms(
                 outdir, task.name, res.traces, self.dt,

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import numpy as np
+
 from gcm_tpu.materials import IsotropicMaterial
 from gcm_tpu.task import (
     AreaBall, AreaLayer, BorderSpec, DetectorSpec, GridSpec,
@@ -312,3 +314,52 @@ def elastic3d_explosion(n: int = 128, nsteps: int = 100) -> Task:
             (L[0] / 4, L[1] / 2, 0.0),
         )),
     )
+
+
+def elastic2d_basin_refined(n: int = 65, nsteps: int = 240):
+    """Non-conforming multi-body: coarse bedrock half coupled to a basin
+    half meshed at HALF the spacing (h vs h/2 interface interpolation maps,
+    solver.contact_nc) with a soft sediment layer in the fine body.
+
+    The reference pairs border nodes of independently meshed bodies
+    (SURVEY.md §2 component 11); this is the structured-grid demo of that:
+    locally refined meshing where the geology needs it. Returns
+    (bodies dict, contacts) for MultiBodyEngine.
+    """
+    from gcm_tpu.solver.contact import ContactSpec
+    from gcm_tpu.task import AreaLayer, MaterialRegion
+
+    rock = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+    sediment = IsotropicMaterial.from_speeds(rho=1800.0, cp=1800.0, cs=700.0)
+    L = 1000.0               # each half is L wide, L tall
+    h = L / (n - 1)
+    f0 = 8.0
+    borders = {(a, s): BorderSpec("absorbing") for a in (0, 1)
+               for s in (0, 1)}
+    borders_free_top = {**borders, (1, 1): BorderSpec("free")}
+
+    bedrock = Task(
+        name="bedrock", model="elastic2d",
+        grid=GridSpec(shape=(n, n), h=(h, h), origin=(0.0, 0.0)),
+        default_material=rock,
+        borders=dict(borders_free_top),
+        sources=(RickerSource(
+            position=(L / 2, L / 3), components=("sxx", "syy"),
+            f0=f0, t0=1.2 / f0, amplitude=1.0e9,
+        ),),
+        time=TimeSpec(cfl=0.8, nsteps=nsteps), order=2,
+    )
+    nb = 2 * (n - 1) + 1     # h/2 spacing over the same extent
+    basin = Task(
+        name="basin", model="elastic2d",
+        grid=GridSpec(shape=(nb, nb), h=(h / 2, h / 2), origin=(L, 0.0)),
+        default_material=rock,
+        materials=(MaterialRegion(
+            AreaLayer(axis=1, lo=0.7 * L, hi=L), sediment),),
+        borders=dict(borders_free_top),
+        detectors=DetectorSpec(points=tuple(
+            (L + x, L) for x in np.linspace(0.1 * L, 0.9 * L, 9))),
+        time=TimeSpec(cfl=0.8, nsteps=nsteps), order=2,
+    )
+    contacts = (ContactSpec("bedrock", "basin", axis=0, kind="bonded"),)
+    return {"bedrock": bedrock, "basin": basin}, contacts

@@ -180,3 +180,24 @@ def snapshot_fields(model, u: np.ndarray) -> Dict[str, np.ndarray]:
     fields = {name: u[i] for i, name in enumerate(model.comp_names)}
     fields["velocity"] = u[model.vel_slice]
     return fields
+
+
+def write_pvd(path: str, entries) -> None:
+    """Write a ParaView collection (.pvd) indexing a snapshot time series.
+
+    ``entries``: iterable of (time, filename) with filenames relative to
+    the .pvd's directory. The reference's VTK series is loadable the same
+    way (SURVEY.md §2 component 15); ParaView then animates over physical
+    time instead of file order.
+    """
+    lines = ['<?xml version="1.0"?>',
+             '<VTKFile type="Collection" version="0.1" '
+             'byte_order="LittleEndian">',
+             '  <Collection>']
+    for t, fname in entries:
+        lines.append(
+            f'    <DataSet timestep="{float(t)}" group="" part="0" '
+            f'file="{fname}"/>')
+    lines += ['  </Collection>', '</VTKFile>', '']
+    with open(path, "w") as f:
+        f.write("\n".join(lines))

@@ -263,3 +263,19 @@ def test_nonconforming_resume_roundtrip():
     for side in ("a", "b"):
         np.testing.assert_array_equal(
             np.asarray(eng2.bonded[0][side]), np.asarray(eng.bonded[0][side]))
+
+
+def test_basin_refined_scenario_builds_and_runs():
+    """The registered non-conforming demo scenario: auto-detected maps,
+    finite fields, receiver traces recorded on the fine body."""
+    from gcm_tpu.engine_multi import MultiBodyEngine
+    from gcm_tpu.scenarios import elastic2d_basin_refined
+
+    bodies, contacts = elastic2d_basin_refined(n=17, nsteps=20)
+    eng = MultiBodyEngine(bodies, contacts)
+    assert 0 in eng.ncmaps
+    res = eng.run()
+    for v in res.bodies.values():
+        assert np.isfinite(v).all()
+    assert res.traces is not None and "basin" in res.traces
+    assert res.traces["basin"].shape[0] == 20

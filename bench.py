@@ -53,6 +53,8 @@ def run_worker(path: str, shape) -> None:
 
     import __graft_entry__ as g
 
+    if path == "simplex":
+        return _run_simplex_worker()
     fwd, u0, mat = g._flagship(shape)
     if path == "pallas":
         fwd = g._flagship_pallas(shape)
@@ -83,6 +85,57 @@ def run_worker(path: str, shape) -> None:
     print(json.dumps({"path": path, "t_step": t_step}))
 
 
+def _run_simplex_worker() -> None:
+    """Unstructured-path throughput (BASELINE config 5): one gather-based
+    3D elastic step over a jittered tet lattice, scan-timed like the
+    structured paths. Reported as an extras field, not the headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcm_tpu.engine_simplex import SimplexEngine
+    from gcm_tpu.grids.simplex import SimplexGrid
+    from gcm_tpu.materials import IsotropicMaterial
+
+    from gcm_tpu.solver.simplex_gcm import simplex_stage
+
+    rng = np.random.default_rng(0)
+    n = 33
+    grid = SimplexGrid.box((0, 0, 0), (1.0, 1.0, 1.0), (n, n, n),
+                           jitter=0.15)
+    mat = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+    u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(np.float32)
+    eng = SimplexEngine(grid, "elastic3d", mat, cfl=0.8, u0=u0,
+                        dtype=jnp.float32)
+
+    def pair(u):
+        # one symmetrized step pair — the engine's production pattern
+        for axis in (0, 1, 2):
+            u = simplex_stage(eng.model, u, eng.mat, eng.tables, axis,
+                              eng.border_kind)
+        for axis in (2, 1, 0):
+            u = simplex_stage(eng.model, u, eng.mat, eng.tables, axis,
+                              eng.border_kind)
+        return u
+
+    K = 10      # pairs -> 2K steps
+
+    @jax.jit
+    def scan_steps(u):
+        return jax.lax.scan(lambda u, _: (pair(u), None), u, None,
+                            length=K)[0]
+
+    u = scan_steps(eng.u)
+    v = float(np.asarray(u[0, 0]))
+    assert np.isfinite(v)
+    t0 = time.perf_counter()
+    u = scan_steps(u)
+    float(np.asarray(u[0, 0]))
+    t_step = (time.perf_counter() - t0) / (2 * K)
+    # report npoints too (grid size isn't the structured SHAPE)
+    print(json.dumps({"path": "simplex", "t_step": t_step,
+                      "npoints": int(grid.npoints)}))
+
+
 def _run_path_subprocess(path: str, shape):
     cmd = [sys.executable, os.path.abspath(__file__), "--worker", path,
            "--shape", ",".join(map(str, shape))]
@@ -94,7 +147,7 @@ def _run_path_subprocess(path: str, shape):
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
-                return json.loads(line)["t_step"], None
+                return json.loads(line), None
         return None, f"no result line (rc={out.returncode}): " \
                      f"{out.stderr.strip()[-300:]}"
     except subprocess.TimeoutExpired:
@@ -102,21 +155,22 @@ def _run_path_subprocess(path: str, shape):
 
 
 def _run_path_with_retry(path: str, shape):
-    t, err = _run_path_subprocess(path, shape)
-    if t is None:
+    rec, err = _run_path_subprocess(path, shape)
+    if rec is None:
         # tunnel wedges are transient; one fresh-process retry
-        t, err2 = _run_path_subprocess(path, shape)
-        err = f"{err}; retry: {err2}" if t is None else None
-    return t, err
+        rec, err2 = _run_path_subprocess(path, shape)
+        err = f"{err}; retry: {err2}" if rec is None else None
+    return (rec["t_step"] if rec else None), err, rec
 
 
 def main():
     shape = SHAPE
     npoints = int(np.prod(shape))
 
-    t_jnp, err_jnp = _run_path_with_retry("jnp", shape)
-    t_pal, err_pal = _run_path_with_retry("pallas", shape)
-    t_fus, err_fus = _run_path_with_retry("fused", shape)
+    t_jnp, err_jnp, _ = _run_path_with_retry("jnp", shape)
+    t_pal, err_pal, _ = _run_path_with_retry("pallas", shape)
+    t_fus, err_fus, _ = _run_path_with_retry("fused", shape)
+    t_sim, err_sim, rec_sim = _run_path_with_retry("simplex", shape)
 
     results = {}
     if t_jnp:
@@ -143,6 +197,12 @@ def main():
         extras["fused_error"] = err_fus
     if "pallas" in results:
         extras["pallas_points_per_s"] = round(results["pallas"], 1)
+    if t_sim and rec_sim:
+        # unstructured (BASELINE config 5) throughput, informational
+        extras["simplex_points_per_s"] = round(
+            rec_sim["npoints"] / t_sim, 1)
+    elif err_sim:
+        extras["simplex_error"] = err_sim
     print(json.dumps({
         "metric": "grid-points/s/chip (3D elastic GCM step)",
         "value": round(best, 1),

@@ -118,6 +118,15 @@ def main():
                 model, u, mstack, dt, h, 2, borders, axes))
         results["raw"] = t
 
+    if "raw_bf16" in phases:
+        # bf16 material stack (VERDICT r2 item 8): half the static-material
+        # DMA stream, f32 sweep arithmetic
+        mstack16 = stack_mats(model, mat, compact=True).astype(jnp.bfloat16)
+        with Budget(args.budget):
+            t = scan_time(lambda u, axes: fused_step(
+                model, u, mstack16, dt, h, 2, borders, axes))
+        results["raw_bf16"] = t
+
     mesh1 = domain_mesh(3, devices=jax.devices()[:1])
 
     if "spmd1" in phases:

@@ -279,3 +279,50 @@ def test_basin_refined_scenario_builds_and_runs():
         assert np.isfinite(v).all()
     assert res.traces is not None and "basin" in res.traces
     assert res.traces["basin"].shape[0] == 20
+
+
+def test_shear_field_exact_across_nonconforming_interface_3d():
+    """3D version: vx = a*y + b*z, sigma = 0 evolves as sxy = mu*a*t,
+    sxz = mu*b*t with vx unchanged. Exercises the separable tensor-product
+    interpolation over BOTH transverse axes of a 3D h-vs-2h interface;
+    affine data makes it exact inside the outer borders' dependence cone."""
+    from gcm_tpu.engine_multi import MultiBodyEngine
+
+    model = get_model("elastic3d")
+    a_c, b_c = 1e-3, -2e-3
+    ga = GridSpec((9, 17, 17), (2.0, 2.0, 2.0), (0.0, 0.0, 0.0))
+    gb = GridSpec((17, 33, 33), (1.0, 1.0, 1.0), (16.0, 0.0, 0.0))
+    ic = InitialCondition(AreaAll(), values={
+        "vx": lambda X, Y, Z: a_c * Y + b_c * Z})
+    borders = {(ax, s): BorderSpec("absorbing") for ax in range(3)
+               for s in (0, 1)}
+    nsteps = 2
+    mk = lambda grid: Task(
+        name="sh3", model="elastic3d", grid=grid, default_material=MAT,
+        initial=(ic,), borders=dict(borders),
+        time=TimeSpec(cfl=0.8, nsteps=nsteps), order=2, kernel="jnp")
+    eng = MultiBodyEngine(
+        {"a": mk(ga), "b": mk(gb)},
+        [ContactSpec("a", "b", axis=0, kind="bonded")], dtype=jnp.float64)
+    assert 0 in eng.ncmaps
+    res = eng.run()
+    t = res.t
+    mu = MAT.mu
+    comp = {n: get_model("elastic3d").comp(n)
+            for n in ("vx", "vy", "vz", "sxy", "sxz", "syz")}
+    for name, grid in (("a", ga), ("b", gb)):
+        u = res.bodies[name]
+        Y = grid.meshgrid()[1]
+        Z = grid.meshgrid()[2]
+        m = 2 * nsteps if name == "a" else 3 * nsteps
+        sl = {"a": (slice(m, None), slice(m, -m), slice(m, -m)),
+              "b": (slice(None, -m), slice(m, -m), slice(m, -m))}[name]
+        np.testing.assert_allclose(u[comp["vx"]][sl],
+                                   a_c * Y[sl] + b_c * Z[sl],
+                                   rtol=0, atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(u[comp["sxy"]][sl], mu * a_c * t,
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(u[comp["sxz"]][sl], mu * b_c * t,
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(u[comp["vy"]][sl], 0.0, atol=1e-12)
+        np.testing.assert_allclose(u[comp["syz"]][sl], 0.0, atol=1e-9)

@@ -28,6 +28,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -90,16 +92,20 @@ def _common_body(jx):
         "update tools/overlap_evidence.py for the new structure")
 
 
-def main() -> int:
+def check(dim: int):
+    """Build one fused SPMD step (3D or 2D) and run the taint check.
+
+    Returns (report_lines, ok)."""
     from gcm_tpu.materials import MaterialFields
     from gcm_tpu.models.spec import get_model
     from gcm_tpu.parallel.fused_spmd import (
-        extended_mstack, make_fused_spmd_step)
+        extended_mstack, extended_mstack_2d, make_fused_spmd_step,
+        make_fused_spmd_step_2d)
     from gcm_tpu.parallel.sharding import domain_mesh, field_sharding
     from gcm_tpu.task import BorderSpec
 
-    shape = (64, 64, 16)
-    model = get_model("elastic3d")
+    shape = (64, 64, 16) if dim == 3 else (96, 24)
+    model = get_model(f"elastic{dim}d")
     rng = np.random.default_rng(0)
     rho = 1000.0 * (1.0 + 0.5 * rng.random(shape))
     mu = 1e9 * (0.5 + rng.random(shape))
@@ -107,16 +113,23 @@ def main() -> int:
     mat = MaterialFields.from_arrays(rho, lam, mu, xp=jnp, dtype=jnp.float32)
     dt = 0.5 / float(np.sqrt((lam + 2 * mu) / rho).max())
     borders = {(a, s): BorderSpec("absorbing")
-               for a in range(3) for s in (0, 1)}
-    mesh = domain_mesh(3, devices=jax.devices("cpu")[:8], shape=(4, 2))
-    mext = extended_mstack(model, mat, mesh, 2)
+               for a in range(dim) for s in (0, 1)}
+    if dim == 3:
+        mesh = domain_mesh(3, devices=jax.devices("cpu")[:8], shape=(4, 2))
+        mext = extended_mstack(model, mat, mesh, 2)
+        step = make_fused_spmd_step(model, mesh, dt, (1.0,) * 3, 2, borders,
+                                    bx=4, by=8)
+        axes = (0, 1, 2)
+    else:
+        mesh = domain_mesh(2, devices=jax.devices("cpu")[:4])
+        mext = extended_mstack_2d(model, mat, mesh)
+        step = make_fused_spmd_step_2d(model, mesh, dt, (1.0,) * 2, 2,
+                                       borders, bx=8)
+        axes = (0, 1)
     u = jax.device_put(
         jnp.zeros((model.ncomp,) + shape, jnp.float32),
-        field_sharding(mesh, 3))
-
-    step = make_fused_spmd_step(model, mesh, dt, (1.0, 1.0, 1.0), 2, borders,
-                                bx=4, by=8)
-    jaxpr = jax.make_jaxpr(lambda a, b: step(a, b, (0, 1, 2)))(u, mext)
+        field_sharding(mesh, dim))
+    jaxpr = jax.make_jaxpr(lambda a, b: step(a, b, axes))(u, mext)
 
     flat = list(_all_eqns(jaxpr.jaxpr))
     n_pallas_total = sum(e.primitive.name == "pallas_call" for e in flat)
@@ -154,21 +167,36 @@ def main() -> int:
     ring_tainted = op_taint(ring)
     ok = (not interior_tainted) and bool(ring_tainted)
 
+    slab_kind = ("x-slab pair + corner-complete y-slab pair" if dim == 3
+                 else "x-slab pair, 8-row aligned")
     report = [
-        f"ppermute eqns in one step: {len(ppermutes)} "
-        "(x-slab pair + corner-complete y-slab pair)",
-        f"interior pallas_call: {len(interior.invars)} operands; "
+        f"[{dim}D] ppermute eqns in one step: {len(ppermutes)} "
+        f"({slab_kind})",
+        f"[{dim}D] interior pallas_call: {len(interior.invars)} operands; "
         f"ppermute-tainted operands: {interior_tainted or 'NONE'}",
-        f"ring pallas_call: {len(ring.invars)} operands; "
+        f"[{dim}D] ring pallas_call: {len(ring.invars)} operands; "
         f"ppermute-tainted operands: {len(ring_tainted)} "
         "(the exchanged slabs + face flags path)",
     ]
+    return report, ok
+
+
+def main() -> int:
+    reports = []
+    all_ok = True
+    for dim in (3, 2):
+        rep, ok = check(dim)
+        reports.extend(rep)
+        all_ok = all_ok and ok
+    report = reports
+    ok = all_ok
     md = [
         "# Halo/compute overlap evidence (fused SPMD step)",
         "",
-        "Generated by `tools/overlap_evidence.py` on an 8-virtual-device",
-        "CPU mesh (4x2): one fused step of the multi-chip production path",
-        "(`gcm_tpu.parallel.fused_spmd`), 3D elastic, order 2, absorbing",
+        "Generated by `tools/overlap_evidence.py` on virtual CPU meshes",
+        "(3D: 4x2 over 8 devices; 2D: 4 over the sharded x axis): one",
+        "fused step of each multi-chip production path",
+        "(`gcm_tpu.parallel.fused_spmd`), elastic, order 2, absorbing",
         "borders.",
         "",
         "**Claim.** The step's O(area) work — the interior Pallas kernel —",

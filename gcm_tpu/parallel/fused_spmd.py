@@ -35,9 +35,12 @@ One full step consumes an r-cell halo per sharded axis (r = stencil
 radius): every sweep of the step is recomputed from the pre-step state
 inside the window, exactly like the single-chip fused kernel.
 
-Scope: 3D models, isotropic or orthotropic media (layout inferred from the
-material-stack height), f32, orders 1..4, axes (0,1,2)/(2,1,0); the last
-(lane) spatial axis is never sharded (gcm_tpu.parallel.sharding).
+Scope: 3D (make_fused_spmd_step: 'sx'/'sy' mesh axes) and 2D
+(make_fused_spmd_step_2d: 'sx' only — see the 2D section below), isotropic
+or orthotropic media (layout inferred from the material-stack height), f32
+state (material stacks optionally bf16), orders 1..4, symmetrized axes
+orders; the last (lane) spatial axis is never sharded
+(gcm_tpu.parallel.sharding).
 """
 
 from __future__ import annotations

@@ -363,3 +363,32 @@ def elastic2d_basin_refined(n: int = 65, nsteps: int = 240):
     )
     contacts = (ContactSpec("bedrock", "basin", axis=0, kind="bonded"),)
     return {"bedrock": bedrock, "basin": basin}, contacts
+
+
+@register
+def elastic2d_viscoelastic(n: int = 256, nsteps: int = 200,
+                           tau: float = 0.02) -> Task:
+    """2D viscoelastic medium: Maxwell deviatoric relaxation (time tau)
+    applied after each hyperbolic step (SURVEY.md §0.5 ODE correctors).
+    An S pulse decays with distance while the P (pressure) part persists —
+    the qualitative Maxwell signature.
+    """
+    from gcm_tpu.solver.correctors import MaxwellCorrector
+
+    mat = IsotropicMaterial.from_speeds(rho=2200.0, cp=3200.0, cs=1800.0)
+    L = 1000.0
+    h = L / (n - 1)
+    f0 = 12.0
+    return Task(
+        name="elastic2d_viscoelastic", model="elastic2d",
+        grid=GridSpec(shape=(n, n), h=(h, h)),
+        default_material=mat,
+        borders={(a, s): BorderSpec("absorbing") for a in (0, 1)
+                 for s in (0, 1)},
+        sources=(RickerSource(position=(L / 2, L / 2),
+                              components=("sxy",), f0=f0, t0=1.2 / f0,
+                              amplitude=1.0e9),),
+        detectors=DetectorSpec(points=((0.75 * L, L / 2),)),
+        correctors=(MaxwellCorrector(tau=tau),),
+        time=TimeSpec(cfl=0.8, nsteps=nsteps), order=2,
+    )

@@ -163,3 +163,20 @@ def test_kernel_auto_resolution(monkeypatch):
     assert resolve_kernel("auto", 3) == "pallas_fused"
     assert resolve_kernel("auto", 2) == "pallas_fused"
     assert resolve_kernel("auto", 1) == "jnp"
+
+
+def test_viscoelastic_scenario_attenuates():
+    """The registered Maxwell scenario: S pulse arrives attenuated at the
+    receiver relative to the pure-elastic run (SURVEY.md §0.5)."""
+    import dataclasses
+
+    import numpy as np
+
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.scenarios import get_scenario
+
+    t_v = get_scenario("elastic2d_viscoelastic", n=64, nsteps=120, tau=0.01)
+    t_e = dataclasses.replace(t_v, correctors=())
+    a_v = np.abs(Engine(t_v).run().traces).max()
+    a_e = np.abs(Engine(t_e).run().traces).max()
+    assert a_v < 0.7 * a_e, (a_v, a_e)

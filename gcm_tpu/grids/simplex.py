@@ -279,29 +279,58 @@ class FootTables:
     outside: np.ndarray
 
 
-def _mls_quadratic_weights(points: np.ndarray, feet: np.ndarray,
-                           nbr_idx: np.ndarray, ridge: float = 1e-10
-                           ) -> np.ndarray:
-    """Least-squares quadratic reconstruction weights, vectorized.
+def _monomial_multi_indices(dim: int, degree: int):
+    """All exponent tuples alpha with |alpha| <= degree, constant first."""
+    out = [(0,) * dim]
+    for total in range(1, degree + 1):
+        def gen(prefix, rem, axes_left):
+            if axes_left == 1:
+                out.append(prefix + (rem,))
+                return
+            for e in range(rem + 1):
+                gen(prefix + (e,), rem - e, axes_left - 1)
+        gen((), total, dim)
+    return out
 
-    For each foot, fit p in span{1, x_a, x_a x_b} over its K neighbor nodes
-    (normal equations with a tiny ridge) and evaluate at the foot:
-    ``w = A (A^T A + ridge I)^{-1} e_0`` with A the scaled monomial matrix.
-    Exact on degree<=2 polynomials when the neighborhood determines them —
-    the static-table analogue of the structured order-2 stencil
-    (SURVEY.md §0.3 step 2: order 2+ interpolation on simplex grids).
+
+def _mls_quadratic_weights(points: np.ndarray, feet: np.ndarray,
+                           nbr_idx: np.ndarray, ridge: float = 1e-10,
+                           degree: int = 2,
+                           gamma: float = 0.0) -> np.ndarray:
+    """Least-squares polynomial reconstruction weights, vectorized.
+
+    For each foot, fit p in span{monomials of total degree <= degree} over
+    its K neighbor nodes (normal equations with a tiny ridge) and evaluate
+    at the foot: ``w = Om A (A^T Om A + ridge I)^{-1} e_0`` with A the
+    scaled monomial matrix and Om optional Gaussian distance weights
+    (``gamma > 0`` — sharpens locality; essential at degree 3, where the
+    unweighted fit's smoothing radius dominates the accuracy constant on
+    jittered meshes while near-interpolatory small-K fits are L-inf
+    unstable). Exact on degree<=``degree`` polynomials whenever the
+    neighborhood determines them — the static-table analogue of the
+    structured order-``degree`` stencil (SURVEY.md §0.3 step 2: order 2+
+    interpolation on simplex grids).
     """
     rel = points[nbr_idx] - feet[:, None, :]          # [N, K, dim]
     scale = np.maximum(np.linalg.norm(rel, axis=2).mean(axis=1), 1e-300)
     rel = rel / scale[:, None, None]
     dim = rel.shape[2]
-    cols = [np.ones(rel.shape[:2])]
-    cols += [rel[:, :, a] for a in range(dim)]
-    cols += [rel[:, :, a] * rel[:, :, b]
-             for a in range(dim) for b in range(a, dim)]
+    cols = []
+    for alpha in _monomial_multi_indices(dim, degree):
+        c = np.ones(rel.shape[:2])
+        for a, e in enumerate(alpha):
+            if e:
+                c = c * rel[:, :, a] ** e
+        cols.append(c)
     A = np.stack(cols, axis=2)                        # [N, K, M]
     M = A.shape[2]
-    G = np.einsum("nkm,nkl->nml", A, A) + ridge * np.eye(M)
+    if gamma > 0.0:
+        r2 = (rel ** 2).sum(2)
+        om = np.exp(-gamma * r2
+                    / np.maximum(r2.mean(1, keepdims=True), 1e-300))
+    else:
+        om = np.ones(rel.shape[:2])
+    G = np.einsum("nk,nkm,nkl->nml", om, A, A) + ridge * np.eye(M)
     e0 = np.zeros((len(A), M, 1))
     e0[:, 0, 0] = 1.0
     try:
@@ -310,7 +339,7 @@ def _mls_quadratic_weights(points: np.ndarray, feet: np.ndarray,
         X = np.linalg.lstsq(
             G.reshape(-1, M, M).astype(np.float64),
             e0, rcond=None)[0][..., 0]
-    return np.einsum("nkm,nm->nk", A, X)
+    return om * np.einsum("nkm,nm->nk", A, X)
 
 
 def _locate_feet(grid: SimplexGrid, locate, cells_arr, c: np.ndarray,
@@ -354,23 +383,34 @@ def _locate_feet(grid: SimplexGrid, locate, cells_arr, c: np.ndarray,
     if order >= 2:
         from scipy.spatial import cKDTree
 
-        K = 10 if dim == 2 else 16
+        degree = min(order, 3)
+        # K large enough that the (scaled) normal equations determine all
+        # monomials on jittered lattices: measured ok-fractions reach 1.0
+        # at these sizes (deg 3 in 3D needs ~2x its 20 monomials)
+        K = {2: (10, 16), 3: (16, 40)}[degree][dim - 2]
         K = min(K, N)
         _, nbr = cKDTree(grid.points).query(feet, k=K)
         if K == 1:
             nbr = nbr[:, None]
-        w2 = _mls_quadratic_weights(grid.points, feet, nbr)
-        # order conditions (scaled coords are O(1)): sum w = 1, and first
-        # and second moments about the foot vanish — else fall back
+        w2 = _mls_quadratic_weights(
+            grid.points, feet, nbr, degree=degree,
+            # measured sweep (advection on jittered strips): gamma=2
+            # makes degree 3 asymptotically beat degree 2 without the
+            # L-inf instability of near-interpolatory small-K fits
+            gamma=2.0 if degree >= 3 else 0.0)
+        # order conditions (scaled coords are O(1)): sum w = 1, and every
+        # moment about the foot up to ``degree`` vanishes — else fall back
         rel = grid.points[nbr] - feet[:, None, :]
         sc = np.maximum(np.linalg.norm(rel, axis=2).mean(axis=1), 1e-300)
         rel = rel / sc[:, None, None]
-        ok = np.abs(w2.sum(1) - 1.0) < 1e-6
-        for a in range(dim):
-            ok &= np.abs((w2 * rel[:, :, a]).sum(1)) < 1e-6
-            for b in range(a, dim):
-                ok &= np.abs(
-                    (w2 * rel[:, :, a] * rel[:, :, b]).sum(1)) < 1e-6
+        ok = np.ones(len(w2), dtype=bool)
+        for alpha in _monomial_multi_indices(dim, degree):
+            mono = np.ones(rel.shape[:2])
+            for a, e in enumerate(alpha):
+                if e:
+                    mono = mono * rel[:, :, a] ** e
+            target = 1.0 if sum(alpha) == 0 else 0.0
+            ok &= np.abs((w2 * mono).sum(1) - target) < 1e-6
         use2 = ok & ~outside
         # pad the order-1 ids' fill columns with the node itself
         pad_ids = np.concatenate(

@@ -200,3 +200,33 @@ def test_checkpoint_roundtrip(tmp_path):
     got = restore_checkpoint(ckdir, state)
     np.testing.assert_array_equal(np.asarray(got["u"]), np.asarray(state["u"]))
     assert int(got["step"]) == 7
+
+
+def test_pvd_series_written_and_indexed(tmp_path):
+    """Cadenced snapshot runs emit a ParaView collection indexing the
+    series by physical time."""
+    import xml.etree.ElementTree as ET
+
+    import jax.numpy as jnp
+
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.scenarios import get_scenario
+    from gcm_tpu.task import SnapshotSpec
+
+    import dataclasses
+
+    task = get_scenario("acoustic1d", n=64, nsteps=20)
+    task = dataclasses.replace(task, snapshots=SnapshotSpec(every=5))
+    eng = Engine(task, dtype=jnp.float32)
+    eng.run_with_outputs(str(tmp_path))
+    pvd = tmp_path / "snapshots" / "acoustic1d.pvd"
+    assert pvd.exists()
+    root = ET.parse(pvd).getroot()
+    entries = root.findall(".//DataSet")
+    # steps 5,10,15,20 (+ the engine may snapshot the final state too)
+    assert len(entries) in (4, 5)
+    times = [float(e.attrib["timestep"]) for e in entries]
+    assert times == sorted(times) and times[0] > 0
+    assert len(set(times)) == len(times) or len(entries) == 5
+    for e in entries:
+        assert (tmp_path / "snapshots" / e.attrib["file"]).exists()

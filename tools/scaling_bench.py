@@ -116,7 +116,8 @@ def main():
         for r in results[1:]:
             eff = r["points_per_s"] / (r["devices"] * base)
             results.append({"devices": r["devices"],
-                            "weak_scaling_efficiency": round(eff, 3)})
+                            "weak_scaling_efficiency": round(eff, 3),
+                            "virtual": bool(args.virtual)})
             print(json.dumps(results[-1]))
     if args.json_out:
         with open(args.json_out, "a") as f:

@@ -168,7 +168,30 @@ def _run_contact(args, kw) -> int:
 
     bodies, contacts = _multi_scenarios()[args.scenario](**kw)
     eng = MultiBodyEngine(bodies, contacts)
-    res = eng.run()
+    cb = None
+    if args.snapshot_every:
+        import os
+
+        from gcm_tpu.snapshot.vtk import (
+            snapshot_fields, write_pvd, write_vti)
+
+        snapdir = os.path.join(args.outdir, "snapshots")
+        os.makedirs(snapdir, exist_ok=True)
+        series = {name: [] for name in bodies}
+
+        def cb(step, us):
+            for name, u in us.items():
+                task = bodies[name]
+                fname = f"{name}_{step:06d}.vti"
+                write_vti(os.path.join(snapdir, fname), task.grid.shape,
+                          task.grid.h, task.grid.origin,
+                          snapshot_fields(eng.model, u))
+                series[name].append((step * eng.dt, fname))
+
+    res = eng.run(snapshot_cb=cb, snapshot_every=args.snapshot_every or 0)
+    if cb is not None:
+        for name, entries in series.items():
+            write_pvd(os.path.join(snapdir, f"{name}.pvd"), entries)
     eng.write_snapshots(args.outdir)
     if res.traces:
         from gcm_tpu.snapshot.seismo import save_seismograms

@@ -521,7 +521,11 @@ class SimplexMultiEngine:
         return {name: us[name][:, idx].T
                 for name, idx in self._det_idx.items()}
 
-    def run(self, nsteps: int):
+    def run(self, nsteps: int, snapshot_cb=None, snapshot_every: int = 0):
+        """Run ``nsteps`` (resuming from ``start_step``); optionally call
+        ``snapshot_cb(step, {name: np.ndarray})`` every ``snapshot_every``
+        steps — the reference engine's per-mesh snapshot cadence, matching
+        MultiBodyEngine.run."""
         start = int(self.start_step)
         if start % 2:
             raise ValueError(
@@ -554,9 +558,36 @@ class SimplexMultiEngine:
 
             return jax.lax.scan(body, carry, amps_pairs)
 
+        chunk_pairs = (max(snapshot_every // 2, 1)
+                       if (snapshot_cb and snapshot_every) else
+                       max(npairs, 1))
+
         t0 = _time.perf_counter()
-        (us, bonded, auxs), traces = scan_all(
-            (self.us, self.bonded, self.auxs), amps_pairs)
+        us, bonded, auxs = self.us, self.bonded, self.auxs
+        trace_chunks = []
+        done_pairs = 0
+        while done_pairs < npairs:
+            take = min(chunk_pairs, npairs - done_pairs)
+            (us, bonded, auxs), tr = scan_all(
+                (us, bonded, auxs),
+                amps_pairs[done_pairs:done_pairs + take])
+            trace_chunks.append(tr)
+            done_pairs += take
+            self.us, self.bonded, self.auxs = us, bonded, auxs
+            self._done_step = start + 2 * done_pairs
+            if snapshot_cb is not None:
+                snapshot_cb(self._done_step,
+                            {k: np.asarray(jax.device_get(v))
+                             for k, v in us.items()})
+        if self._det_idx and trace_chunks:
+            traces = {k: jnp.concatenate([t[k] for t in trace_chunks])
+                      for k in trace_chunks[0]}
+        else:
+            # no full pairs ran (nrun < 2): empty per-body trace arrays so
+            # the assembly below still concatenates with any tail step
+            traces = {k: jnp.zeros((0, 2, len(np.asarray(idx)),
+                                    self.model.ncomp), dtype=self.dtype)
+                      for k, idx in self._det_idx.items()}
         tail_tr = []
         if nrun % 2:
             # un-paired forward tail step — run(3) executes 3 steps, same

@@ -279,3 +279,36 @@ def test_simplex_multi_resume_preserves_fracture(tmp_path):
         np.testing.assert_allclose(rres.bodies[name], fres.bodies[name],
                                    rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(rres.bonded[0], fres.bonded[0])
+
+
+def test_simplex_multi_cadenced_snapshots_match_uninterrupted():
+    """SimplexMultiEngine.run with a snapshot callback chunks the scan
+    without changing physics."""
+    import numpy as np
+
+    from gcm_tpu.engine_simplex import SimplexBody, SimplexMultiEngine
+    from gcm_tpu.grids.simplex import SimplexGrid
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.simplex_contact import SimplexContactSpec
+
+    rock = IsotropicMaterial.from_speeds(rho=1000.0, cp=2000.0, cs=1100.0)
+    g_a = SimplexGrid.box((0, 0), (8.0, 16.0), (9, 17))
+    g_b = SimplexGrid.box((8.0, 0), (16.0, 16.0), (9, 17))
+    rng = np.random.default_rng(0)
+
+    def build():
+        u0a = rng.standard_normal((5, g_a.npoints)) * 0 + 1e3
+        bodies = {"a": SimplexBody(g_a, rock, u0=u0a),
+                  "b": SimplexBody(g_b, rock)}
+        return SimplexMultiEngine(
+            bodies, [SimplexContactSpec("a", "b", axis=0)],
+            model_name="elastic2d", cfl=0.6, dtype=np.float64)
+
+    ref = build().run(9)
+    seen = []
+    res = build().run(9, snapshot_cb=lambda s, us: seen.append(s),
+                      snapshot_every=4)
+    assert seen == [4, 8]
+    for k in ref.bodies:
+        np.testing.assert_allclose(res.bodies[k], ref.bodies[k],
+                                   rtol=1e-12, atol=1e-12)

@@ -107,9 +107,12 @@ class Engine:
                 from gcm_tpu.parallel.fused_spmd import (
                     extended_mstack, make_fused_spmd_step)
 
-                mdt = jnp.bfloat16 if task.mat_dtype == "bf16" else dtype
+                # 3D spmd keeps f32 materials: the interior/ring kernels'
+                # r-row y-halo segment DMAs are unalignable for bf16
+                # (2-sublane packing); single-chip 3D bf16 routes through
+                # the slab kernel instead (ops.pallas_fused.fused_step)
                 self._mext = extended_mstack(
-                    self.model, self.mat, mesh, task.order, dtype=mdt)
+                    self.model, self.mat, mesh, task.order, dtype=dtype)
                 self._spmd_step = make_fused_spmd_step(
                     self.model, mesh, self.dt, task.grid.h, task.order,
                     task.borders)

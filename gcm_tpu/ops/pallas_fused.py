@@ -908,7 +908,18 @@ def fused_step(
     ``mstack`` is ``stack_mats(model, mat)`` — build it once at setup.
     Falls back (raises ValueError) for unsupported configurations; callers
     (engine) catch the constraints statically.
+
+    bf16 material stacks route through the slab kernel: bf16 HBM refs are
+    (8,128)-tiled with 2-sublane packing, so the windowed kernel's r-row
+    y-halo segment DMAs are unalignable for Mosaic; the slab kernel
+    segments along x only (the untiled dim) and is measured at the same
+    DMA roofline.
     """
+    if u.ndim == 4 and mstack.dtype == jnp.bfloat16:
+        return fused_step_slab(model, u, mstack, dt, h, order, borders,
+                               axes, interpret=interpret,
+                               vmem_budget=max(vmem_budget,
+                                               96 * 1024 * 1024))
     if u.ndim != 4 or model.dim != 3:
         raise ValueError("fused_step supports 3D grids only")
     axes = tuple(axes) if axes is not None else (0, 1, 2)

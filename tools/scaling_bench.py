@@ -85,17 +85,25 @@ def main():
 
             mext = extended_mstack(model, mat, mesh, 2)
             fstep = make_fused_spmd_step(model, mesh, dt, h, 2, borders)
-            step = lambda uu, _m: fstep(uu, mext)  # noqa: E731
+            step = lambda uu, axes: fstep(uu, mext, axes)  # noqa: E731
         else:
-            step = make_spmd_step(model, mesh, dt, h, 2, borders,
-                                  use_pallas=(args.path == "pallas"))
-        # scan-timed like bench.py: amortizes per-dispatch tunnel overhead
+            sstep = make_spmd_step(model, mesh, dt, h, 2, borders,
+                                   use_pallas=(args.path == "pallas"))
+            step = lambda uu, axes: sstep(uu, mat_s, axes)  # noqa: E731
+        # scan-timed with the engine's production pattern: symmetrized
+        # (alternating) axes orders and unroll=2 — the same scan bench.py
+        # and tools/tax_probe.py time (unroll amortizes the axon
+        # platform's per-loop-iteration latency)
         import jax as _jax
 
         def scan_steps(uu):
-            return _jax.lax.scan(
-                lambda a, _: (step(a, mat_s), None), uu, None,
-                length=args.steps)[0]
+            def body(a, _):
+                a = step(a, (0, 1, 2))
+                a = step(a, (2, 1, 0))
+                return a, None
+
+            return _jax.lax.scan(body, uu, None,
+                                 length=args.steps // 2, unroll=2)[0]
 
         scan_steps = _jax.jit(scan_steps)
         u = scan_steps(u)                     # compile + warm
@@ -103,7 +111,7 @@ def main():
         t0 = time.perf_counter()
         u = scan_steps(u)
         float(np.asarray(u[0, 0, 0, 0]))      # forced sync
-        dtw = (time.perf_counter() - t0) / args.steps
+        dtw = (time.perf_counter() - t0) / (2 * (args.steps // 2))
         pps = int(np.prod(shape)) / dtw
         results.append({"devices": n, "mesh": list(mesh.devices.shape),
                         "global_shape": list(shape), "path": args.path,

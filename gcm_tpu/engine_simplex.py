@@ -280,13 +280,15 @@ class SimplexEngine:
         os.makedirs(outdir, exist_ok=True)
         snap = self.snapshots
         cb = None
+        series = []
         if snap is not None and snap.every:
             snapdir = os.path.join(outdir, snap.directory)
             os.makedirs(snapdir, exist_ok=True)
 
             def cb(step: int, u: np.ndarray) -> None:
-                self.write_snapshot(
-                    os.path.join(snapdir, f"{self.name}_{step:06d}.vtu"))
+                fname = f"{self.name}_{step:06d}.vtu"
+                self.write_snapshot(os.path.join(snapdir, fname))
+                series.append((step * self.dt, fname))
                 if checkpoint_every and step % checkpoint_every == 0:
                     from gcm_tpu.utils.checkpoint import save_checkpoint
 
@@ -296,6 +298,10 @@ class SimplexEngine:
                     )
 
         res = self.run(snapshot_cb=cb)
+        if series:
+            from gcm_tpu.snapshot.vtk import write_pvd
+
+            write_pvd(os.path.join(snapdir, f"{self.name}.pvd"), series)
         if res.traces is not None and self.task is not None \
                 and self.task.detectors is not None:
             save_seismograms(

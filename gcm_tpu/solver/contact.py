@@ -66,9 +66,12 @@ class ContactSpec:
     whose normal traction sigma* exceeds it (tension-positive) become
     permanently broken and behave as ``broken_kind`` ('free' = traction-free
     crack faces, 'slip' = frictionless contact that still transmits
-    compression).
+    compression, 'friction' = Coulomb crack faces: unilateral normal +
+    stick/slide tangential cap — the reference's bonded-to-frictional
+    fracture transition, SURVEY.md §0.4).
 
-    ``friction_mu``: Coulomb coefficient for ``kind='friction'``.
+    ``friction_mu``: Coulomb coefficient for ``kind='friction'`` and for
+    ``broken_kind='friction'`` crack faces.
     """
 
     body_a: str
@@ -85,7 +88,7 @@ class ContactSpec:
     def __post_init__(self):
         if self.kind not in CONTACT_KINDS:
             raise ValueError(f"unknown contact kind {self.kind!r}")
-        if self.broken_kind not in ("free", "slip"):
+        if self.broken_kind not in ("free", "slip", "friction"):
             raise ValueError(f"unknown broken kind {self.broken_kind!r}")
         given = (self.lo_a, self.lo_b, self.span)
         if any(g is not None for g in given) and any(g is None for g in given):
@@ -132,6 +135,21 @@ def _pair_incoming(
     in_a_free = -out_a
     in_b_free = -out_b
 
+    def unilateral():
+        # adhesion while in compression, traction-free when open
+        closed = s_star < 0.0
+        return (jnp.where(closed, in_a_glued, in_a_free),
+                jnp.where(closed, in_b_glued, in_b_free))
+
+    def coulomb_tangential(mu):
+        # stick while |tau*| <= mu*sigma_c, else slide at the capped
+        # traction (prescribed equal traction both sides)
+        cap = mu * sigma_c
+        stick = jnp.abs(s_star) <= cap
+        tau_c = jnp.sign(s_star) * cap
+        return (jnp.where(stick, in_a_glued, 2.0 * tau_c - out_a),
+                jnp.where(stick, in_b_glued, 2.0 * tau_c - out_b))
+
     # intact behavior by kind
     if spec.kind == "bonded":
         intact_a, intact_b = in_a_glued, in_b_glued
@@ -142,28 +160,20 @@ def _pair_incoming(
             intact_a, intact_b = in_a_free, in_b_free
     else:  # friction
         if is_normal:
-            closed = s_star < 0.0
-            intact_a = jnp.where(closed, in_a_glued, in_a_free)
-            intact_b = jnp.where(closed, in_b_glued, in_b_free)
+            intact_a, intact_b = unilateral()
         else:
-            # Coulomb: stick while |tau*| <= mu*sigma_c, else slide at
-            # the capped traction (prescribed equal traction both sides)
-            cap = spec.friction_mu * sigma_c
-            stick = jnp.abs(s_star) <= cap
-            tau_c = jnp.sign(s_star) * cap
-            in_a_slide = 2.0 * tau_c - out_a
-            in_b_slide = 2.0 * tau_c - out_b
-            intact_a = jnp.where(stick, in_a_glued, in_a_slide)
-            intact_b = jnp.where(stick, in_b_glued, in_b_slide)
+            intact_a, intact_b = coulomb_tangential(spec.friction_mu)
 
     if glue is None:
         return intact_a, intact_b, s_star
     # broken behavior: 'free' cracks are traction-free; 'slip' cracks
-    # still transmit compression on the normal pair
-    if spec.broken_kind == "slip" and is_normal:
-        closed = s_star < 0.0
-        broken_a = jnp.where(closed, in_a_glued, in_a_free)
-        broken_b = jnp.where(closed, in_b_glued, in_b_free)
+    # still transmit compression on the normal pair; 'friction' cracks
+    # are Coulomb contacts (the reference's bonded-to-frictional fracture
+    # transition, SURVEY.md §0.4)
+    if is_normal and spec.broken_kind in ("slip", "friction"):
+        broken_a, broken_b = unilateral()
+    elif not is_normal and spec.broken_kind == "friction":
+        broken_a, broken_b = coulomb_tangential(spec.friction_mu)
     else:
         broken_a, broken_b = in_a_free, in_b_free
     return (jnp.where(glue, intact_a, broken_a),
@@ -181,7 +191,9 @@ def _require_normal_pair(spec, pair_specs, ax: int) -> None:
     pair; without a pair whose traction_axis == contact axis, sigma_c
     stays None and the Coulomb cap would raise a TypeError deep inside
     jit tracing (advisor r2) — fail with the physics reason instead."""
-    if spec.kind == "friction" and not any(
+    needs = (spec.kind == "friction"
+             or getattr(spec, "broken_kind", None) == "friction")
+    if needs and not any(
             p.traction_axis == ax for p in pair_specs):
         raise ValueError(
             f"friction contact on axis {ax} requires a characteristic "

@@ -232,3 +232,83 @@ def test_friction_mu_zero_equals_slip_kind():
     for k in got:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=1e-10, atol=1e-6)
+
+
+def _run_bonded(model, us, mats, hs, bb, dt, contact, bonded, nsteps=16):
+    for n in range(nsteps):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        us, bonded = step_multi(model, us, mats, dt, hs, 1, bb, (contact,),
+                                bonded, axes)
+    return us, bonded
+
+
+def test_broken_friction_mu_zero_equals_broken_slip():
+    """Fully-broken crack faces with broken_kind='friction', mu=0 behave
+    exactly like broken_kind='slip' (unilateral normal, free tangential)."""
+    model, us, mats, hs, bb, dt = _shear_setup(0.8e6)
+    ny = np.asarray(us["a"]).shape[2]
+    dead = jnp.zeros((ny,))
+    us2 = {k: v for k, v in us.items()}
+    got, _ = _run_bonded(
+        model, us, mats, hs, bb, dt,
+        ContactSpec("a", "b", 0, kind="bonded", tensile_strength=1e30,
+                    broken_kind="friction", friction_mu=0.0),
+        {0: dead}, nsteps=8)
+    want, _ = _run_bonded(
+        model, us2, mats, hs, bb, dt,
+        ContactSpec("a", "b", 0, kind="bonded", tensile_strength=1e30,
+                    broken_kind="slip"),
+        {0: dead}, nsteps=8)
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-10, atol=1e-6)
+
+
+def test_broken_friction_caps_crack_shear():
+    """Broken Coulomb crack faces transmit capped shear under compression:
+    |tau| <= mu*max(-sigma_n, 0) pointwise, and the cap is attained while
+    the pulse drives the interface (SURVEY.md §0.4 bonded-to-frictional)."""
+    mu, P0, tau0 = 0.3, 1e6, 1.5e6
+    model, us, mats, hs, bb, dt = _shear_setup(tau0, P0)
+    ny = np.asarray(us["a"]).shape[2]
+    contact = ContactSpec("a", "b", 0, kind="bonded", tensile_strength=1e30,
+                          broken_kind="friction", friction_mu=mu)
+    bonded = {0: jnp.zeros((ny,))}          # pre-broken everywhere
+    sxx = model.comp("sxx")
+    sxy = model.comp("sxy")
+    mid = slice(4, 12)
+    peak_ratio = 0.0
+    for n in range(24):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        us, bonded = step_multi(model, us, mats, dt, hs, 1, bb, (contact,),
+                                bonded, axes)
+        if axes[-1] != 0:
+            continue
+        for face in (np.asarray(us["a"])[:, -1, :],
+                     np.asarray(us["b"])[:, 0, :]):
+            sig_c = np.maximum(-face[sxx][mid], 0.0)
+            tau = np.abs(face[sxy][mid])
+            assert (tau <= mu * sig_c * (1 + 1e-9) + 1e-6).all(), \
+                (n, tau, mu * sig_c)
+        ratio = np.abs(np.asarray(us["a"])[sxy, -1, mid]) / np.maximum(
+            mu * np.maximum(-np.asarray(us["a"])[sxx, -1, mid], 0.0), 1e-30)
+        peak_ratio = max(peak_ratio, float(ratio.max()))
+    assert peak_ratio > 0.999, peak_ratio
+
+
+def test_broken_friction_large_mu_sticks_like_bonded():
+    """Broken Coulomb faces with a huge mu under compression stick: the
+    run equals the fully-bonded (intact) run."""
+    model, us, mats, hs, bb, dt = _shear_setup(0.5e5, P0=1e6)
+    ny = np.asarray(us["a"]).shape[2]
+    us2 = {k: v for k, v in us.items()}
+    got, _ = _run_bonded(
+        model, us, mats, hs, bb, dt,
+        ContactSpec("a", "b", 0, kind="bonded", tensile_strength=1e30,
+                    broken_kind="friction", friction_mu=1e9),
+        {0: jnp.zeros((ny,))}, nsteps=8)
+    want = _run(model, us2, mats, hs, bb, dt,
+                ContactSpec("a", "b", 0, kind="bonded"), nsteps=8)
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-9, atol=1e-4)

@@ -53,7 +53,7 @@ class SimplexContactSpec:
     def __post_init__(self):
         if self.kind not in CONTACT_KINDS:
             raise ValueError(f"unknown contact kind {self.kind!r}")
-        if self.broken_kind not in ("free", "slip"):
+        if self.broken_kind not in ("free", "slip", "friction"):
             raise ValueError(f"unknown broken kind {self.broken_kind!r}")
 
 

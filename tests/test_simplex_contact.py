@@ -148,3 +148,35 @@ def test_simplex_contact_dissimilar_impedance_transmits():
     t_coeff = 2 * z2 / (z1 + z2)
     ratio = transmitted(hard) / transmitted(soft)
     assert abs(ratio - t_coeff) < 0.12 * t_coeff, (ratio, t_coeff)
+
+
+def test_simplex_broken_friction_mu_zero_equals_broken_slip(rng):
+    """broken_kind='friction', mu=0 on simplex crack faces equals
+    broken_kind='slip' exactly (shared _pair_incoming algebra)."""
+    import dataclasses
+
+    _, g_a, g_b, xk = _split_lattice()
+    u0a = rng.standard_normal((5, g_a.npoints))
+    u0b = rng.standard_normal((5, g_b.npoints))
+    u0a[2:] *= 1e5
+    u0b[2:] *= 1e5
+
+    def run(broken_kind, mu=0.0):
+        from gcm_tpu.engine_simplex import SimplexBody, SimplexMultiEngine
+
+        bodies = {"a": SimplexBody(g_a, ROCK, u0=u0a.copy()),
+                  "b": SimplexBody(g_b, ROCK, u0=u0b.copy())}
+        spec = SimplexContactSpec("a", "b", axis=0, kind="bonded",
+                                  tensile_strength=1e30,
+                                  broken_kind=broken_kind, friction_mu=mu)
+        eng = SimplexMultiEngine(bodies, [spec], model_name="elastic2d",
+                                 cfl=0.6, dtype=np.float64)
+        # pre-break every interface node
+        eng.bonded[0] = eng.bonded[0] * 0.0
+        return eng.run(6)
+
+    got = run("friction", mu=0.0)
+    want = run("slip")
+    for k in got.bodies:
+        np.testing.assert_allclose(got.bodies[k], want.bodies[k],
+                                   rtol=1e-10, atol=1e-8)

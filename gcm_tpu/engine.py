@@ -99,8 +99,13 @@ class Engine:
             from gcm_tpu.parallel.sharding import (
                 field_sharding, material_sharding)
 
-            self.u = jax.device_put(
-                self.u, field_sharding(mesh, self.model.dim))
+            if mesh.devices.size > 1:
+                # 1-device meshes keep the state UNSHARDED: on the axon
+                # platform a NamedSharding-placed scan carry executes ~20x
+                # slower through an identical program (measured r3), and
+                # the 1-device dispatch runs the single-chip kernels anyway
+                self.u = jax.device_put(
+                    self.u, field_sharding(mesh, self.model.dim))
             mshard = material_sharding(mesh, self.model.dim)
             nsx = mesh.shape.get("sx", 1)
             if self.kernel == "pallas_fused" and self.model.dim == 3:

@@ -90,7 +90,8 @@ class MultiBodyEngine:
         self.dt = float(min(dts))
         self.nsteps = t0.time.steps_for(self.dt)
 
-        if mesh is not None:
+        if mesh is not None and mesh.devices.size > 1:
+            # (1-device meshes keep the state unsharded — see Engine)
             from gcm_tpu.parallel.sharding import (
                 field_sharding, material_sharding)
 

@@ -76,7 +76,12 @@ def main():
             0.01 * rng.standard_normal((model.ncomp,) + shape),
             dtype=jnp.float32)
         mat = MaterialFields.uniform(MAT, shape, xp=jnp, dtype=jnp.float32)
-        u, mat_s = shard_state(u0, mat, mesh)
+        if n > 1:
+            u, mat_s = shard_state(u0, mat, mesh)
+        else:
+            # keep the scan carry unsharded on one device: a NamedSharding
+            # carry runs ~20x slower on the axon platform (measured r3)
+            u, mat_s = u0, mat
         if args.path == "fused":
             # the production multi-chip path: fused full-step kernel under
             # shard_map with overlapped halo-slab exchange

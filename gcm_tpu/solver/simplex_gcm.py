@@ -114,20 +114,45 @@ def simplex_stage(
     view = mat.axis_view(axis, st)
     comps: Dict[int, jnp.ndarray] = {}
 
+    # ---- batched interpolation: ONE row-gather per distinct foot table.
+    # TPU gathers pay per index, not per fetched byte at these widths, so
+    # fetching all components a table serves in one [N, K, m] gather is
+    # several times faster than per-component 1-D gathers (shared P/S
+    # tables serve two S pairs in 3D: 12 gathers/stage become 4).
+    table_comps: Dict[Tuple, list] = {}
+    pair_keys = {}
     for k, p in enumerate(st.pairs):
         key_p = (axis, k, +1) if (axis, k, +1) in tables else (axis, p.wave, +1)
         if key_p not in tables:
+            continue
+        pair_keys[k] = key_p
+        for key in (key_p, key_p[:2] + (-1,)):
+            lst = table_comps.setdefault(key, [])
+            for c in (p.sigma, p.vel):
+                if c not in lst:
+                    lst.append(c)
+    interp: Dict[Tuple, Dict[int, jnp.ndarray]] = {}
+    for key, clist in table_comps.items():
+        t = tables[key]
+        ids = jnp.asarray(t.ids)
+        wts = jnp.asarray(t.weights, dtype=u.dtype)
+        rows = jnp.take(u[jnp.asarray(clist)].T, ids, axis=0)  # [N, K, m]
+        vals = (rows * wts[:, :, None]).sum(axis=1)            # [N, m]
+        interp[key] = {c: vals[:, j] for j, c in enumerate(clist)}
+
+    for k, p in enumerate(st.pairs):
+        if k not in pair_keys:
             continue  # wave family absent (e.g. S in a fluid)
+        key_p = pair_keys[k]
         tp = tables[key_p]
         tm = tables[key_p[:2] + (-1,)]
         z = view.pair_z[k]
         A, B = u[p.sigma], u[p.vel]
         szb = sign * z
 
-        ids_p, w_p = jnp.asarray(tp.ids), jnp.asarray(tp.weights, dtype=u.dtype)
-        ids_m, w_m = jnp.asarray(tm.ids), jnp.asarray(tm.weights, dtype=u.dtype)
-        w_l = _gather_interp(A, ids_p, w_p) + szb * _gather_interp(B, ids_p, w_p)
-        w_r = _gather_interp(A, ids_m, w_m) - szb * _gather_interp(B, ids_m, w_m)
+        ip, im = interp[key_p], interp[key_p[:2] + (-1,)]
+        w_l = ip[p.sigma] + szb * ip[p.vel]
+        w_r = im[p.sigma] - szb * im[p.vel]
 
         # border: feet outside the hull are incoming invariants, overwritten
         # from the physical constraint using the node's outgoing invariant

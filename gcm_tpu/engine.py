@@ -108,7 +108,10 @@ class Engine:
                     self.u, field_sharding(mesh, self.model.dim))
             mshard = material_sharding(mesh, self.model.dim)
             nsx = mesh.shape.get("sx", 1)
-            if self.kernel == "pallas_fused" and self.model.dim == 3:
+            lane_ok = (jax.default_backend() != "tpu"
+                       or task.grid.shape[-1] % 128 == 0)
+            if (self.kernel == "pallas_fused" and self.model.dim == 3
+                    and lane_ok):
                 from gcm_tpu.parallel.fused_spmd import (
                     extended_mstack, make_fused_spmd_step)
 
@@ -122,6 +125,7 @@ class Engine:
                     self.model, mesh, self.dt, task.grid.h, task.order,
                     task.borders)
             elif (self.kernel == "pallas_fused" and self.model.dim == 2
+                    and lane_ok
                     and task.grid.shape[0] % (8 * nsx) == 0):
                 # sharded 2D on the fused kernel (VERDICT r2 weak #5);
                 # per-shard x extent must be 8-aligned (Mosaic tiling)
@@ -165,10 +169,15 @@ class Engine:
         # per-stiffness layout; 3D uses fused_step, 2D fused_step_2d)
         self._mstack = None
         self._fused_fn = None
+        on_tpu = jax.default_backend() == "tpu"
+        lane_ok = (not on_tpu) or task.grid.shape[-1] % 128 == 0
         if (mesh is None and self.kernel == "pallas_fused"
                 and self.model.dim in (2, 3)
-                # the 2D kernel needs 8-aligned x slices (Mosaic tiling);
-                # other shapes fall through to the per-sweep pallas path
+                # Mosaic constraints on hardware: the lane (last) dim of
+                # the in-VMEM sweep windows must fill whole 128-wide tiles,
+                # and the 2D kernel needs 8-aligned x slices; other shapes
+                # fall through to the per-sweep pallas path (any shape)
+                and lane_ok
                 and (self.model.dim == 3 or task.grid.shape[0] % 8 == 0)):
             from gcm_tpu.ops.pallas_fused import (
                 fused_step, fused_step_2d, stack_mats, stack_mats_ortho)

@@ -538,6 +538,23 @@ def _make_fused_kernel(model: Model, order: int, dtohs: Sequence[float],
     return kernel, X, Y
 
 
+def _require_lane_alignment(n_lane: int, interpret, name: str) -> None:
+    """Mosaic requires the lane (last) dim of the in-VMEM sweep windows to
+    be a multiple of 128 on hardware: the z/y-edge pads slice single lane
+    rows, which only lower when the lane extent fills whole (*,128) tiles
+    (measured: nz=32/64 fail remote compile, nz=128 compiles). Interpret
+    mode (CPU) has no such restriction. Engines guard this statically and
+    fall back to the per-sweep Pallas kernels; direct callers get a clear
+    error instead of a remote-compile crash."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret and n_lane % 128 != 0:
+        raise ValueError(
+            f"{name}: the last (lane) dimension must be a multiple of 128 "
+            f"on TPU hardware (got {n_lane}); use the per-sweep pallas "
+            "path for other shapes")
+
+
 # ----------------------------------------------------------------- slab kernel
 
 def _make_slab_kernel(model: Model, order: int, dtohs: Sequence[float],
@@ -655,6 +672,7 @@ def fused_step_slab(
     """
     if u.ndim != 4 or model.dim != 3:
         raise ValueError("fused_step_slab supports 3D grids only")
+    _require_lane_alignment(u.shape[-1], interpret, "fused_step_slab")
     axes = tuple(axes) if axes is not None else (0, 1, 2)
     if axes not in ((0, 1, 2), (2, 1, 0)):
         raise ValueError(f"unsupported axes order {axes}")
@@ -822,6 +840,7 @@ def fused_step_2d(
     """
     if u.ndim != 3 or model.dim != 2:
         raise ValueError("fused_step_2d supports 2D grids only")
+    _require_lane_alignment(u.shape[-1], interpret, "fused_step_2d")
     axes = tuple(axes) if axes is not None else (0, 1)
     if axes not in ((0, 1), (1, 0)):
         raise ValueError(f"unsupported axes order {axes}")
@@ -920,6 +939,7 @@ def fused_step(
                                axes, interpret=interpret,
                                vmem_budget=max(vmem_budget,
                                                96 * 1024 * 1024))
+    _require_lane_alignment(u.shape[-1], interpret, "fused_step")
     if u.ndim != 4 or model.dim != 3:
         raise ValueError("fused_step supports 3D grids only")
     axes = tuple(axes) if axes is not None else (0, 1, 2)

@@ -64,7 +64,7 @@ def main():
     from gcm_tpu.ops.pallas_fused import fused_step, stack_mats
     from gcm_tpu.parallel.fused_spmd import (
         extended_mstack, make_fused_spmd_step)
-    from gcm_tpu.parallel.sharding import domain_mesh, field_sharding
+    from gcm_tpu.parallel.sharding import domain_mesh
     from gcm_tpu.task import BorderSpec
 
     model = get_model("elastic3d")
@@ -132,7 +132,8 @@ def main():
     if "spmd1" in phases:
         mext = extended_mstack(model, mat, mesh1, 2)
         step = make_fused_spmd_step(model, mesh1, dt, h, 2, borders)
-        u1 = jax.device_put(u0, field_sharding(mesh1, 3))
+        # the scan carry stays UNSHARDED (engines do the same on 1-device
+        # meshes: a NamedSharding carry runs ~23x slower on this platform)
         with Budget(args.budget):
             t = scan_time(lambda u, axes: step(u, mext, axes))
         results["spmd1"] = t

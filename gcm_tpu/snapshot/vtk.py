@@ -190,14 +190,18 @@ def write_pvd(path: str, entries) -> None:
     way (SURVEY.md §2 component 15); ParaView then animates over physical
     time instead of file order.
     """
+    from xml.sax.saxutils import quoteattr
+
     lines = ['<?xml version="1.0"?>',
              '<VTKFile type="Collection" version="0.1" '
              'byte_order="LittleEndian">',
              '  <Collection>']
     for t, fname in entries:
+        # quoteattr: task names containing & or < must not produce invalid
+        # XML that ParaView rejects (advisor r3)
         lines.append(
             f'    <DataSet timestep="{float(t)}" group="" part="0" '
-            f'file="{fname}"/>')
+            f'file={quoteattr(str(fname))}/>')
     lines += ['  </Collection>', '</VTKFile>', '']
     with open(path, "w") as f:
         f.write("\n".join(lines))

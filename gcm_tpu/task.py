@@ -445,6 +445,15 @@ class Task:
     mat_dtype: str = "f32"             # "f32" | "bf16"
     scan_unroll: int = 1               # steps-loop unroll inside the jitted scan
 
+    def __post_init__(self):
+        # validate free-form string knobs up front — a typo like "bf16 "
+        # would otherwise silently run the f32 path (advisor r3)
+        if self.mat_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown mat_dtype {self.mat_dtype!r} "
+                             "(expected 'f32' or 'bf16')")
+        if self.kernel not in ("auto", "jnp", "pallas", "pallas_fused"):
+            raise ValueError(f"unknown kernel {self.kernel!r}")
+
     def border(self, axis: int, side: int) -> BorderSpec:
         return self.borders.get((axis, side), BorderSpec("absorbing"))
 

@@ -129,9 +129,11 @@ def test_engine_resume_equals_uninterrupted(tmp_path, cut):
                                rtol=1e-6, atol=1e-7)
 
 
-def test_multibody_resume_preserves_fracture(tmp_path):
+@pytest.mark.parametrize("cut", [20, 21])  # period-aligned and odd
+def test_multibody_resume_preserves_fracture(tmp_path, cut):
     """Resuming a fracture run must restore the bond masks: a dropped mask
-    would re-glue broken interfaces."""
+    would re-glue broken interfaces. Odd-step checkpoints realign with a
+    single forward step (VERDICT r3 weak #6)."""
     from gcm_tpu.engine_multi import MultiBodyEngine
     from gcm_tpu.materials import IsotropicMaterial
     from gcm_tpu.solver.contact import ContactSpec
@@ -171,14 +173,14 @@ def test_multibody_resume_preserves_fracture(tmp_path):
     assert float(rfull.bonded[0]) == 0.0, "interface must actually break"
 
     part = MultiBodyEngine(*bodies())
-    part.nsteps = 20
+    part.nsteps = cut
     part.run()
     ckdir = str(tmp_path / "ckm")
-    save_checkpoint(ckdir, 20, part.state_dict())
+    save_checkpoint(ckdir, cut, part.state_dict())
 
     resumed = MultiBodyEngine(*bodies())
     resumed.load_state(restore_checkpoint(ckdir, resumed.state_dict()))
-    assert resumed.start_step == 20
+    assert resumed.start_step == cut
     rres = resumed.run()
     assert float(rres.bonded[0]) == 0.0
     for name in ("a", "b"):

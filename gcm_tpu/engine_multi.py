@@ -146,6 +146,55 @@ class MultiBodyEngine:
             if c.span is None and not faces_conform(ga, gb, c.axis):
                 self.ncmaps[ci] = build_interface_maps(ga, gb, c.axis)
 
+        # fused full-step multi-body path (VERDICT r3 item 2): each body
+        # runs its whole step through the fused Pallas kernel — ONE HBM
+        # pass — and contacts become face-slab fixups (solver.multi.
+        # step_multi_fused).  Falls back to the per-sweep fast path when
+        # the contact topology or shapes disqualify.
+        self._fused_multi = None
+        from gcm_tpu.solver.multi import fused_contacts_ok
+
+        on_tpu = jax.default_backend() == "tpu"
+        shapes = {k: t.grid.shape for k, t in bodies.items()}
+        shapes_ok = all(
+            ((not on_tpu) or t.grid.shape[-1] % 128 == 0)
+            and (self.model.dim == 3 or t.grid.shape[0] % 8 == 0)
+            for t in bodies.values())
+        if (self.kernel == "pallas_fused" and mesh is None
+                and self.model.dim in (2, 3) and shapes_ok
+                and fused_contacts_ok(self.model, shapes, self.contacts,
+                                      self.order, getattr(self, "ncmaps",
+                                                          None))):
+            from gcm_tpu.ops.pallas_fused import (
+                fused_step, fused_step_2d, stack_mats, stack_mats_ortho)
+
+            full_faces = set()
+            for c in self.contacts:
+                if c.span is None:
+                    full_faces.add((c.body_a, c.axis, 1))
+                    full_faces.add((c.body_b, c.axis, 0))
+            mstacks = {}
+            kernel_bcs = {}
+            for name, task in bodies.items():
+                mat = self.mats[name]
+                ms = (stack_mats(self.model, mat, compact=True)
+                      if isinstance(mat, MaterialFields)
+                      else stack_mats_ortho(self.model, mat))
+                if task.mat_dtype == "bf16":
+                    ms = ms.astype(jnp.bfloat16)
+                mstacks[name] = ms
+                kernel_bcs[name] = {
+                    f: b for f, b in self.borders[name].items()
+                    if (name,) + f not in full_faces}
+            ffn = fused_step if self.model.dim == 3 else fused_step_2d
+
+            def _fused_body(name, u, axes):
+                return ffn(self.model, u, mstacks[name], self.dt,
+                           self.hs[name], self.order, kernel_bcs[name],
+                           axes)
+
+            self._fused_multi = _fused_body
+
         # bond masks for fracture-enabled contacts (overlap slab shape;
         # non-conforming contacts carry per-side masks)
         self.bonded: Dict[int, jnp.ndarray] = {}
@@ -218,7 +267,15 @@ class MultiBodyEngine:
         axes = tuple(range(self.model.dim))
         if self.symmetrize and parity == 1:
             axes = axes[::-1]
-        if self._raw_stage is not None:
+        if self._fused_multi is not None:
+            from gcm_tpu.solver.multi import step_multi_fused
+
+            us, bonded = step_multi_fused(
+                self.model, us, self.mats, self.dt, self.hs, self.order,
+                self.borders, self.contacts, bonded, self._fused_multi,
+                axes,
+            )
+        elif self._raw_stage is not None:
             from gcm_tpu.solver.multi import step_multi_fast
 
             us, bonded = step_multi_fast(

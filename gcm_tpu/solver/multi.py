@@ -220,6 +220,156 @@ def step_multi_fast(
     return us, bonded
 
 
+def fused_contacts_ok(model: Model, shapes: Dict[str, Tuple[int, ...]],
+                      contacts: Sequence[ContactSpec], order: int,
+                      ncmaps: Optional[Dict[int, object]] = None) -> bool:
+    """Whether :func:`step_multi_fused`'s face-slab fixup composition is
+    exact for this contact topology.  Requirements:
+
+    - conforming contacts only (non-conforming maps change the fixup rows);
+    - per body, contacts on a single axis (contacts on two axes couple at
+      the shared face-edge line, which the independent per-contact fixups
+      cannot see);
+    - at most one contact per (body, axis, side) face (two sub-rectangle
+      contacts on one face would each rewrite the whole face row);
+    - every contacted body deeper than the r+1 fixup slab along the axis.
+    """
+    from gcm_tpu.ops.interp import stencil_radius
+
+    if ncmaps:
+        return False
+    depth = stencil_radius(order) + 1
+    body_axes: Dict[str, set] = {}
+    seen_faces = set()
+    for c in contacts:
+        for name, side in ((c.body_a, 1), (c.body_b, 0)):
+            body_axes.setdefault(name, set()).add(c.axis)
+            face = (name, c.axis, side)
+            if face in seen_faces:
+                return False
+            seen_faces.add(face)
+            if shapes[name][c.axis] <= depth:
+                return False
+    return all(len(s) == 1 for s in body_axes.values())
+
+
+def step_multi_fused(
+    model: Model,
+    us: BodyStates,
+    mats: Dict[str, MaterialFields],
+    dt: float,
+    hs: Dict[str, Sequence[float]],
+    order: int,
+    borders: Dict[str, Dict[Tuple[int, int], BorderSpec]],
+    contacts: Sequence[ContactSpec],
+    bonded: BondedState,
+    fused_body,
+    axes: Optional[Sequence[int]] = None,
+) -> Tuple[BodyStates, BondedState]:
+    """Full step per body in ONE pass + contact face-slab fixups.
+
+    ``fused_body(name, u, axes)`` runs a body's complete time step (all
+    sweeps, its own non-contact border conditions in place, raw edge-clamp
+    at full-contact faces) — the fused full-step Pallas kernel in
+    production, one HBM pass per body (VERDICT r3 item 2; the per-sweep
+    fast path costs 3 passes/step).
+
+    Why a face-row fixup after the *full* step is exact (the kernel's own
+    halo-recompute argument, ops.pallas_fused):
+
+    - during the sweep along the contact axis ``a``, only the interface
+      face row consumes out-of-domain values — every interior row's
+      stencil stays in-domain, so the kernel's raw step and the per-sweep
+      reference agree everywhere except that row;
+    - sweeps along other axes never move data across ``a`` (dimensional
+      splitting is 1D), so the contamination stays in the face row for the
+      rest of the step;
+    - the correct face row is recomputable from the PRE-step state on an
+      (r+1)-deep slab: redo the pre-``a`` sweeps on the slab (transverse
+      stencils are full-extent there), apply the contact solve via the
+      invertible-reconstruction fixup (apply_contact_post), then redo the
+      post-``a`` sweeps on the 1-deep face row.
+
+    Eligibility is :func:`fused_contacts_ok`; callers fall back to
+    :func:`step_multi_fast` otherwise.
+    """
+    import jax
+
+    from gcm_tpu.ops.interp import stencil_radius
+    from gcm_tpu.solver.contact import apply_contact_post
+    from gcm_tpu.solver.gcm import stage
+
+    axes = tuple(axes) if axes is not None else tuple(range(model.dim))
+    r = stencil_radius(order)
+    depth = r + 1
+    dim = model.dim
+
+    def slab_idx(a: int, side: int, n: int) -> Tuple:
+        sl = [slice(None)] * dim
+        sl[a] = slice(-n, None) if side == 1 else slice(0, n)
+        return tuple(sl)
+
+    out: BodyStates = {name: fused_body(name, u, axes)
+                       for name, u in us.items()}
+    new_bonded = dict(bonded)
+
+    for ci, c in enumerate(contacts):
+        a = c.axis
+        pos = axes.index(a)
+        before, after = axes[:pos], axes[pos + 1:]
+        st = model.stage(a)
+
+        pre = {}
+        swept = {}
+        matsl = {}
+        for name, side in ((c.body_a, 1), (c.body_b, 0)):
+            idx = slab_idx(a, side, depth)
+            usl = us[name][(slice(None),) + idx]
+            msl = jax.tree.map(lambda x: x[idx], mats[name])
+            # transverse borders apply on the slab (full extent there);
+            # the slab's interior cut along ``a`` is not a domain face
+            bcs_t = {f: b for f, b in borders.get(name, {}).items()
+                     if f[0] != a}
+            for b_ax in before:
+                usl = stage(model, usl, msl, dt, hs[name], b_ax, order,
+                            bcs_t)
+            pre[name] = usl
+            matsl[name] = msl
+            # the contact-axis sweep on the slab: only the face row is
+            # consumed.  Partial-overlap contacts first apply the body's
+            # own face BC (stage_multi's ordering: BC, then the contact
+            # solve overwrites the overlap sub-rectangle).
+            bc_face = borders.get(name, {}).get((a, side))
+            bcs_a = ({(a, side): bc_face}
+                     if (bc_face is not None and c.span is not None)
+                     else None)
+            swept[name] = stage(model, usl, msl, dt, hs[name], a, order,
+                                bcs_a)
+
+        ua_fix, ub_fix, nb = apply_contact_post(
+            c, model, pre[c.body_a], swept[c.body_a],
+            pre[c.body_b], swept[c.body_b],
+            matsl[c.body_a].axis_view(a, st),
+            matsl[c.body_b].axis_view(a, st),
+            bonded.get(ci))
+        if nb is not None:
+            new_bonded[ci] = nb
+
+        for name, ufix in ((c.body_a, ua_fix), (c.body_b, ub_fix)):
+            side = 1 if name == c.body_a else 0
+            fidx = slab_idx(a, side, 1)
+            frow = ufix[(slice(None),) + fidx]
+            mrow = jax.tree.map(lambda x: x[fidx], mats[name])
+            bcs_t = {f: b for f, b in borders.get(name, {}).items()
+                     if f[0] != a}
+            for b_ax in after:
+                frow = stage(model, frow, mrow, dt, hs[name], b_ax, order,
+                             bcs_t)
+            out[name] = out[name].at[(slice(None),) + fidx].set(frow)
+
+    return out, new_bonded
+
+
 def step_multi(
     model: Model,
     us: BodyStates,

@@ -65,3 +65,41 @@ def test_orthotropic_pallas_matches_jnp(rng):
     scale = np.abs(want).reshape(model.ncomp, -1).max(1) + 1e-30
     err = np.abs(got - want).reshape(model.ncomp, -1).max(1) / scale
     assert err.max() < 2e-6, err
+
+
+def test_engine_temporal_pair_path(monkeypatch):
+    """A detector/source/corrector-free fused-kernel task runs the scan on
+    the temporally blocked pair kernel (one HBM pass per symmetrized pair)
+    and matches the jnp engine (VERDICT r3 item 1)."""
+    import dataclasses
+
+    import numpy as np
+
+    import gcm_tpu.ops.pallas_fused as pf
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.scenarios import get_scenario
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    task = dataclasses.replace(
+        get_scenario("elastic3d_layered", n=16, nsteps=6), detectors=None)
+    ref = Engine(task).run()
+    eng = Engine(dataclasses.replace(task, kernel="pallas_fused"))
+    res = eng.run()
+    assert eng._pair_fused, "pair path must be selected for this task"
+    scale = np.abs(ref.u).reshape(9, -1).max(1) + 1e-30
+    err = np.abs(res.u - ref.u).reshape(9, -1).max(1) / scale
+    assert err.max() < 1e-5, err
+
+    # detectors force the per-step body (mid-pair samples must exist)
+    eng_det = Engine(dataclasses.replace(
+        get_scenario("elastic3d_layered", n=16, nsteps=6),
+        kernel="pallas_fused"))
+    eng_det._build_scan()
+    assert not eng_det._pair_fused

@@ -117,3 +117,194 @@ def test_multibody_engine_sharded_pallas_matches_unsharded(monkeypatch):
         assert np.abs(res.bodies[k] - res_ref.bodies[k]).max() / scale < 2e-5
     for ci in res.bonded:
         np.testing.assert_array_equal(res.bonded[ci], res_ref.bonded[ci])
+
+
+# ------------------------------------------- fused full-step composition (r3)
+
+def _full_faces(contacts):
+    faces = set()
+    for c in contacts:
+        if c.span is None:
+            faces.add((c.body_a, c.axis, 1))
+            faces.add((c.body_b, c.axis, 0))
+    return faces
+
+
+def _jnp_fused_body(model, mats, dt, hs, borders, contacts):
+    """A 'fused body step' stand-in built from the jnp semantics of record:
+    one full step per body, non-contact borders in place, raw clamp at
+    full-contact faces — exactly what the fused kernel computes."""
+    from gcm_tpu.solver.gcm import step as jnp_step
+
+    faces = _full_faces(contacts)
+
+    def body(name, u, axes):
+        bcs = {f: b for f, b in borders.get(name, {}).items()
+               if (name,) + f not in faces}
+        return jnp_step(model, u, mats[name], dt, hs[name], 2, bcs, axes)
+
+    return body
+
+
+@pytest.mark.parametrize("kind,mu", [("bonded", 0.0), ("slip", 0.0),
+                                     ("friction", 0.3)])
+def test_step_multi_fused_equals_step_multi(kind, mu, rng):
+    """Full-step fixup composition (VERDICT r3 item 2) == per-sweep
+    in-stage solve, all contact kinds + fracture, order 2, both axes
+    orders, 2D."""
+    from gcm_tpu.solver.multi import fused_contacts_ok, step_multi_fused
+
+    model = get_model("elastic2d")
+    na, nb, ny = 12, 10, 8
+    h = (1.0, 1.0)
+    dt = 0.6 / MAT.cp
+    us = {
+        "a": jnp.asarray(rng.standard_normal((5, na, ny)) * 1e5),
+        "b": jnp.asarray(rng.standard_normal((5, nb, ny)) * 1e5),
+    }
+    mats = {"a": _mat((na, ny)), "b": _mat((nb, ny))}
+    hs = {"a": h, "b": h}
+    borders = {(a, s): BorderSpec("absorbing") for a in range(2)
+               for s in (0, 1)}
+    bb = {"a": dict(borders), "b": dict(borders)}
+    contact = ContactSpec("a", "b", 0, kind=kind, friction_mu=mu,
+                          tensile_strength=5e4)
+    bonded = {0: jnp.ones((ny,), jnp.float64)}
+    assert fused_contacts_ok(model, {"a": (na, ny), "b": (nb, ny)},
+                             (contact,), 2)
+    fused_body = _jnp_fused_body(model, mats, dt, hs, bb, (contact,))
+
+    got, gb = dict(us), dict(bonded)
+    want, wb = dict(us), dict(bonded)
+    for n in range(4):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        got, gb = step_multi_fused(model, got, mats, dt, hs, 2, bb,
+                                   (contact,), gb, fused_body, axes)
+        want, wb = step_multi(model, want, mats, dt, hs, 2, bb, (contact,),
+                              wb, axes)
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-12, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(wb[0]))
+
+
+def test_step_multi_fused_3d_partial_overlap(rng):
+    """3D, offset partial-overlap contact + free-surface BCs: the fixup
+    must apply the body's own face BC outside the overlap and solve the
+    contact inside it, then re-run the transverse sweeps on the face row."""
+    from gcm_tpu.solver.multi import fused_contacts_ok, step_multi_fused
+
+    model = get_model("elastic3d")
+    sa, sb = (8, 10, 6), (8, 8, 6)
+    h = (1.0, 1.0, 1.0)
+    dt = 0.5 / MAT.cp
+    us = {"a": jnp.asarray(rng.standard_normal((9,) + sa) * 1e5),
+          "b": jnp.asarray(rng.standard_normal((9,) + sb) * 1e5)}
+    mats = {"a": _mat(sa), "b": _mat(sb)}
+    hs = {"a": h, "b": h}
+    bcs = {(a, s): BorderSpec("free") for a in range(3) for s in (0, 1)}
+    bb = {"a": dict(bcs), "b": dict(bcs)}
+    contact = ContactSpec("a", "b", 1, kind="bonded",
+                          lo_a=(1, 0), lo_b=(0, 0), span=(6, 6))
+    bonded = {}
+    assert fused_contacts_ok(model, {"a": sa, "b": sb}, (contact,), 2)
+    fused_body = _jnp_fused_body(model, mats, dt, hs, bb, (contact,))
+
+    got, want = dict(us), dict(us)
+    for n in range(2):
+        axes = (0, 1, 2) if n % 2 == 0 else (2, 1, 0)
+        got, _ = step_multi_fused(model, got, mats, dt, hs, 2, bb,
+                                  (contact,), {}, fused_body, axes)
+        want, _ = step_multi(model, want, mats, dt, hs, 2, bb, (contact,),
+                             {}, axes)
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-12, atol=1e-7)
+
+
+def test_step_multi_fused_three_body_chain(rng):
+    """A 3-body chain along x: the middle body has contacts at BOTH faces
+    of the same axis (allowed — disjoint face rows, independent fixups)."""
+    from gcm_tpu.solver.multi import fused_contacts_ok, step_multi_fused
+
+    model = get_model("elastic2d")
+    ny = 6
+    shapes = {"a": (8, ny), "b": (7, ny), "c": (9, ny)}
+    h = (1.0, 1.0)
+    dt = 0.5 / MAT.cp
+    us = {k: jnp.asarray(rng.standard_normal((5,) + s) * 1e5)
+          for k, s in shapes.items()}
+    mats = {k: _mat(s) for k, s in shapes.items()}
+    hs = {k: h for k in shapes}
+    bcs = {(a, s): BorderSpec("absorbing") for a in range(2) for s in (0, 1)}
+    bb = {k: dict(bcs) for k in shapes}
+    contacts = (ContactSpec("a", "b", 0, kind="bonded"),
+                ContactSpec("b", "c", 0, kind="bonded",
+                            tensile_strength=4e4))
+    bonded = {1: jnp.ones((ny,), jnp.float64)}
+    assert fused_contacts_ok(model, shapes, contacts, 2)
+    fused_body = _jnp_fused_body(model, mats, dt, hs, bb, contacts)
+
+    got, gb = dict(us), dict(bonded)
+    want, wb = dict(us), dict(bonded)
+    for n in range(4):
+        axes = (0, 1) if n % 2 == 0 else (1, 0)
+        got, gb = step_multi_fused(model, got, mats, dt, hs, 2, bb,
+                                   contacts, gb, fused_body, axes)
+        want, wb = step_multi(model, want, mats, dt, hs, 2, bb, contacts,
+                              wb, axes)
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=1e-12, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(wb[1]))
+
+
+def test_fused_contacts_eligibility():
+    from gcm_tpu.solver.multi import fused_contacts_ok
+
+    model = get_model("elastic3d")
+    shapes = {"a": (8, 8, 8), "b": (8, 8, 8)}
+    ok = (ContactSpec("a", "b", 0),)
+    assert fused_contacts_ok(model, shapes, ok, 2)
+    # two contact axes on one body couple at the face-edge line
+    two_axes = (ContactSpec("a", "b", 0), ContactSpec("b", "a", 1))
+    assert not fused_contacts_ok(model, shapes, two_axes, 2)
+    # two contacts on the same face
+    dup = (ContactSpec("a", "b", 0,
+                       lo_a=(0, 0), lo_b=(0, 0), span=(2, 2)),
+           ContactSpec("a", "b", 0,
+                       lo_a=(4, 4), lo_b=(4, 4), span=(2, 2)))
+    assert not fused_contacts_ok(model, shapes, dup, 2)
+    # body shallower than the fixup slab
+    assert not fused_contacts_ok(model, {"a": (2, 8, 8), "b": (8, 8, 8)},
+                                 ok, 2)
+    # non-conforming maps present
+    assert not fused_contacts_ok(model, shapes, ok, 2, ncmaps={0: object()})
+
+
+def test_multibody_engine_fused_matches_jnp(monkeypatch):
+    """MultiBodyEngine on the fused full-step path (one HBM pass per body,
+    contacts as face-slab fixups) == jnp engine on the fracture scenario
+    (BASELINE config 4; VERDICT r3 item 2)."""
+    import gcm_tpu.ops.pallas_fused as pf
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    bodies, contacts = elastic3d_contact(n=12, nsteps=8)
+    res_ref = MultiBodyEngine(bodies, contacts).run()
+    bodies_f = {k: dataclasses.replace(t, kernel="pallas_fused")
+                for k, t in bodies.items()}
+    eng = MultiBodyEngine(bodies_f, contacts)
+    assert eng._fused_multi is not None, "fused multi path must be selected"
+    res = eng.run()
+    for k in res.bodies:
+        scale = np.abs(res_ref.bodies[k]).max() + 1e-30
+        assert np.abs(res.bodies[k] - res_ref.bodies[k]).max() / scale < 2e-5
+    for ci in res.bonded:
+        np.testing.assert_array_equal(res.bonded[ci], res_ref.bonded[ci])

@@ -141,3 +141,100 @@ def test_engine_pallas_fused_matches_jnp(monkeypatch):
     assert err.max() < 2e-5, err
     np.testing.assert_allclose(res_fus.traces, res_jnp.traces,
                                rtol=1e-3, atol=1e-5 * scale.max())
+
+
+# ------------------------------------------------- temporal blocking (K steps)
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_fused_pair_matches_two_singles(rng, order):
+    """Temporal blocking (VERDICT r3 item 1): one axes_seq=((0,1,2),(2,1,0))
+    kernel call — the engine's symmetrized pair in ONE HBM pass — must
+    reproduce two single-step fused calls exactly, including the border
+    conditions at every domain face (the intermediate step applies BCs at
+    offset r inside the window and re-patches the shrinking halo)."""
+    from gcm_tpu.ops.pallas_fused import fused_step
+
+    shape = (12, 24, 16)
+    model, u0, mat, dt = _problem(rng, shape)
+    h = (10.0, 12.0, 9.0)
+    ms = stack_mats(model, mat, compact=True)
+    want = fused_step(model, u0, ms, dt, h, order, BORDERS, (0, 1, 2),
+                      bx=4, by=8, interpret=True)
+    want = fused_step(model, want, ms, dt, h, order, BORDERS, (2, 1, 0),
+                      bx=4, by=8, interpret=True)
+    got = fused_step(model, u0, ms, dt, h, order, BORDERS,
+                     axes_seq=((0, 1, 2), (2, 1, 0)),
+                     bx=4, by=8, interpret=True)
+    # not bitwise: XLA fuses/contracts the two programs differently (FMA),
+    # so identical op sequences differ by ulps; the normalized tolerance is
+    # the same standard the single-step-vs-jnp tests use
+    _compare(model, got, want, tol=2e-6)
+
+
+def test_fused_pair_matches_jnp_pair(rng):
+    """The pair kernel against the jnp semantics of record over 2 pairs."""
+    shape = (12, 16, 8)
+    model, u0, mat, dt = _problem(rng, shape)
+    h = (10.0, 10.0, 10.0)
+    ms = stack_mats(model, mat, compact=True)
+    want, got = u0, u0
+    for _ in range(2):
+        want = step(model, want, mat, dt, h, 2, BORDERS, (0, 1, 2))
+        want = step(model, want, mat, dt, h, 2, BORDERS, (2, 1, 0))
+        got = fused_step(model, got, ms, dt, h, 2, BORDERS,
+                         axes_seq=((0, 1, 2), (2, 1, 0)),
+                         bx=4, by=8, interpret=True)
+    _compare(model, got, want, tol=5e-6)
+
+
+def test_fused_slab_pair_matches_two_singles(rng):
+    from gcm_tpu.ops.pallas_fused import fused_step_slab
+
+    shape = (12, 16, 8)
+    model, u0, mat, dt = _problem(rng, shape)
+    h = (10.0, 11.0, 12.0)
+    ms = stack_mats(model, mat, compact=True)
+    want = fused_step_slab(model, u0, ms, dt, h, 2, BORDERS, (0, 1, 2),
+                           bx=4, interpret=True)
+    want = fused_step_slab(model, want, ms, dt, h, 2, BORDERS, (2, 1, 0),
+                           bx=4, interpret=True)
+    got = fused_step_slab(model, u0, ms, dt, h, 2, BORDERS,
+                          axes_seq=((0, 1, 2), (2, 1, 0)),
+                          bx=4, interpret=True)
+    _compare(model, got, want, tol=2e-6)
+
+
+def test_fused_2d_pair_matches_two_singles(rng):
+    from gcm_tpu.ops.pallas_fused import fused_step_2d
+
+    shape = (32, 24)
+    model, u0, mat, dt = _problem(rng, shape, name="elastic2d")
+    h = (10.0, 11.0)
+    borders = {(0, 0): BorderSpec("free"), (0, 1): BorderSpec("absorbing"),
+               (1, 0): BorderSpec("fixed_force", value=(1e5, -2e5)),
+               (1, 1): BorderSpec("fixed_velocity", value=(0.1, -0.2))}
+    ms = stack_mats(model, mat, compact=True)
+    want = fused_step_2d(model, u0, ms, dt, h, 2, borders, (0, 1),
+                         bx=8, interpret=True)
+    want = fused_step_2d(model, want, ms, dt, h, 2, borders, (1, 0),
+                         bx=8, interpret=True)
+    got = fused_step_2d(model, u0, ms, dt, h, 2, borders,
+                        axes_seq=((0, 1), (1, 0)),
+                        bx=8, interpret=True)
+    _compare(model, got, want, tol=2e-6)
+
+
+def test_fused_quad_matches_four_singles(rng):
+    """K=4 (two symmetrized pairs per HBM pass) also holds exactly."""
+    shape = (16, 16, 8)
+    model, u0, mat, dt = _problem(rng, shape)
+    h = (10.0, 10.0, 10.0)
+    ms = stack_mats(model, mat, compact=True)
+    seq = ((0, 1, 2), (2, 1, 0), (0, 1, 2), (2, 1, 0))
+    want = u0
+    for ax in seq:
+        want = fused_step(model, want, ms, dt, h, 1, BORDERS, ax,
+                          bx=4, by=8, interpret=True)
+    got = fused_step(model, u0, ms, dt, h, 1, BORDERS, axes_seq=seq,
+                     bx=4, by=8, interpret=True)
+    _compare(model, got, want, tol=4e-6)

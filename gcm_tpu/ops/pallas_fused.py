@@ -765,7 +765,8 @@ def fused_step_slab(
             pltpu.SemaphoreType.DMA((2, nsegs)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,
+            vmem_limit_bytes=max(128 * 1024 * 1024,
+                                 vmem_budget + 32 * 1024 * 1024),
         ),
         **({"interpret": True} if (interpret if interpret is not None
                            else jax.default_backend() != "tpu")
@@ -947,7 +948,8 @@ def fused_step_2d(
             pltpu.SemaphoreType.DMA((2, nsegs)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=max(100 * 1024 * 1024,
+                                 vmem_budget + 32 * 1024 * 1024),
         ),
         **({"interpret": True} if (interpret if interpret is not None
                            else jax.default_backend() != "tpu")
@@ -1076,7 +1078,8 @@ def fused_step(
             pltpu.SemaphoreType.DMA((2, nsegs)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=max(100 * 1024 * 1024,
+                                 vmem_budget + 32 * 1024 * 1024),
         ),
         # omit the kwarg when False so test harnesses can monkeypatch a
         # default interpret=True for the CPU backend

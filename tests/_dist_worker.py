@@ -1,0 +1,96 @@
+"""Worker for the real 2-process ``jax.distributed`` test (VERDICT r3 #4).
+
+Each process owns 2 virtual CPU devices; the coordinator glues them into a
+4-device ('sx',) mesh. The worker builds the globally-sharded state from
+process-local shards, runs N sharded jnp GCM steps (XLA inserts the
+cross-process halo collectives), allgathers, and process 0 writes the
+result. The parent pytest process compares against its single-process run.
+
+Usage: python _dist_worker.py <coordinator> <nproc> <pid> <outfile>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    coordinator, nproc, pid, outfile = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+
+    from gcm_tpu.parallel import multihost
+
+    entered = multihost.initialize(coordinator=coordinator,
+                                   num_processes=nproc, process_id=pid)
+    assert entered, "explicit coordinator must enter distributed mode"
+    info = multihost.process_info()
+    assert info["process_count"] == nproc, info
+    assert info["global_devices"] == 2 * nproc, info
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gcm_tpu.materials import MaterialFields
+    from gcm_tpu.models.spec import get_model
+    from gcm_tpu.parallel.sharding import domain_mesh
+    from gcm_tpu.solver.gcm import step
+    from gcm_tpu.task import BorderSpec
+
+    model = get_model("elastic2d")
+    shape = (32, 16)
+    rng = np.random.default_rng(0)
+    rho = 1000.0 * (1.0 + 0.5 * rng.random(shape))
+    mu = 1e9 * (0.5 + rng.random(shape))
+    lam = 1e9 * (1.0 + rng.random(shape))
+    u0 = rng.standard_normal((model.ncomp,) + shape)
+    dt = 0.6 / float(np.sqrt((lam + 2 * mu) / rho).max())
+    h = (1.0, 1.0)
+    borders = {(a, s): BorderSpec("absorbing")
+               for a in range(2) for s in (0, 1)}
+
+    mesh = domain_mesh(2)          # ('sx',) over all 4 global devices
+    su = NamedSharding(mesh, P(None, "sx", None))
+    sm = NamedSharding(mesh, P("sx", None))
+
+    def put(global_np, sharding):
+        arr = jnp.asarray(global_np)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+
+    u = put(u0, su)
+    mat_np = MaterialFields.from_arrays(rho, lam, mu, xp=np,
+                                        dtype=np.float64)
+    mat = jax.tree.map(lambda a: put(a, sm), mat_np)
+
+    @jax.jit
+    def steps(u, mat):
+        for n in range(4):
+            axes = (0, 1) if n % 2 == 0 else (1, 0)
+            u = step(model, u, mat, dt, h, 2, borders, axes)
+        return u
+
+    out = steps(u, mat)
+    result = multihost_utils.process_allgather(out, tiled=True)
+    if pid == 0:
+        np.save(outfile, np.asarray(result))
+    multihost_utils.sync_global_devices("done")
+    print(f"worker {pid} OK: {info}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

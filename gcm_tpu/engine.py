@@ -289,9 +289,12 @@ class Engine:
         # recorded or corrected between them — run BOTH steps in ONE HBM
         # pass (axes_seq pair kernel, 2r halo).  Sources/correctors apply
         # between steps and detectors sample every step, so any of those
-        # falls back to the per-step body.
+        # falls back to the per-step body.  Opt-in via Task.temporal_block:
+        # measured compute-bound on v5e, the pair kernel only wins when HBM
+        # bandwidth is the constraint (BASELINE.md round-4 study).
         pair_fused = (period == 2 and self._mstack is not None
                       and self._spmd_step is None
+                      and getattr(task, "temporal_block", False)
                       and not self._src_idx and not task.correctors
                       and self._det_idx is None)
         self._pair_fused = pair_fused  # introspection (tests, run summaries)

@@ -444,6 +444,12 @@ class Task:
     #: which perturbs wave speeds/impedances by the same relative amount.
     mat_dtype: str = "f32"             # "f32" | "bf16"
     scan_unroll: int = 1               # steps-loop unroll inside the jitted scan
+    #: run the symmetrized step pair as ONE temporally blocked fused-kernel
+    #: call (2r halo, half the HBM passes). Opt-in: measured on v5e the
+    #: fused kernel is VPU-compute-bound in healthy windows, so the pair
+    #: kernel's DMA saving is cancelled by its halo recompute (~3% slower
+    #: there; ~10% faster when HBM is the constraint — BASELINE.md r4).
+    temporal_block: bool = False
 
     def __post_init__(self):
         # validate free-form string knobs up front — a typo like "bf16 "

@@ -88,7 +88,8 @@ def test_engine_temporal_pair_path(monkeypatch):
     monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
 
     task = dataclasses.replace(
-        get_scenario("elastic3d_layered", n=16, nsteps=6), detectors=None)
+        get_scenario("elastic3d_layered", n=16, nsteps=6), detectors=None,
+        temporal_block=True)
     ref = Engine(task).run()
     eng = Engine(dataclasses.replace(task, kernel="pallas_fused"))
     res = eng.run()
@@ -100,6 +101,6 @@ def test_engine_temporal_pair_path(monkeypatch):
     # detectors force the per-step body (mid-pair samples must exist)
     eng_det = Engine(dataclasses.replace(
         get_scenario("elastic3d_layered", n=16, nsteps=6),
-        kernel="pallas_fused"))
+        kernel="pallas_fused", temporal_block=True))
     eng_det._build_scan()
     assert not eng_det._pair_fused

@@ -193,6 +193,25 @@ class Engine:
             self._fused_fn = fused_step if self.model.dim == 3 \
                 else fused_step_2d
 
+        # fold the ODE correctors into the fused kernel's output-tile
+        # epilogue (VERDICT r3 item 8): a viscoelastic/damage step then
+        # stays one HBM pass instead of paying an extra full state
+        # read+write for the elementwise update
+        self._fold_specs = None
+        self._fold_naux = 0
+        # (sources are injected AFTER the step but BEFORE correctors in
+        # the per-step semantics, so folding is only exact source-free)
+        if (self._mstack is not None and task.correctors
+                and not task.sources and task.mat_dtype != "bf16"):
+            from gcm_tpu.ops.pallas_fused import fold_corrector_specs
+
+            specs, naux = fold_corrector_specs(task.correctors, self.dt)
+            # (engine aux carries ONE shared "damage" field; >1 damage
+            # correctors would alias it — keep those on the jnp pass)
+            if specs is not None and naux <= 1:
+                self._fold_specs = specs
+                self._fold_naux = naux
+
         # source injection tables: static node indices + per-step amplitudes
         # (all steps evaluated in one vectorized call — setup stays O(1)-ish
         # even for nsteps ~ 1e6)
@@ -250,6 +269,23 @@ class Engine:
             carry = self._mext if self._mext is not None else self.mat
             u = self._spmd_step(u, carry, axes)
         elif self._mstack is not None:
+            if self._fold_specs is not None:
+                if self._fold_naux:
+                    astack = jnp.stack([aux["damage"]])
+                    u, astack = self._fused_fn(
+                        model, u, self._mstack, self.dt, task.grid.h,
+                        task.order, task.borders, axes,
+                        correctors=self._fold_specs, aux=astack,
+                    )
+                    aux = dict(aux)
+                    aux["damage"] = astack[0]
+                else:
+                    u = self._fused_fn(
+                        model, u, self._mstack, self.dt, task.grid.h,
+                        task.order, task.borders, axes,
+                        correctors=self._fold_specs,
+                    )
+                return u, aux   # correctors already applied in-kernel
             u = self._fused_fn(
                 model, u, self._mstack, self.dt, task.grid.h, task.order,
                 task.borders, axes,

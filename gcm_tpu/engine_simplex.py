@@ -665,9 +665,16 @@ def _material_fields(material, npoints: int, dtype):
 
 
 def _foot_tables(grid: SimplexGrid, model, mat, dt: float, order: int = 1):
+    from gcm_tpu.grids.simplex import compress_foot_tables
+
     if isinstance(mat, MaterialFields):
         waves = {"p": np.asarray(mat.cp)}
         if float(np.asarray(mat.cs).max()) > 0:
             waves["s"] = np.asarray(mat.cs)
-        return build_foot_tables(grid, waves, dt, order=order)
-    return build_foot_tables_for_model(grid, model, mat, dt, order=order)
+        tables = build_foot_tables(grid, waves, dt, order=order)
+    else:
+        tables = build_foot_tables_for_model(grid, model, mat, dt,
+                                             order=order)
+    # stencil-compress tables with small delta sets (lattice-provenance
+    # meshes compress; unordered imports fall back to gathers per table)
+    return compress_foot_tables(tables)

@@ -272,11 +272,21 @@ class FootTables:
                   (self-index where the foot is outside the hull)
     - ``weights`` [N, dim+1] float32 barycentric weights (0 where outside)
     - ``outside`` [N] bool — foot fell outside (incoming invariant at border)
+    - ``stencil`` optional compressed form (built by
+      :func:`compress_foot_tables`): ``(deltas [nd] int64, W [nd, N]
+      float32)`` such that ``sum_j weights[n,j] f[ids[n,j]] ==
+      sum_d W[d,n] f[n + deltas[d]]`` — when the mesh ordering is local
+      (lattice-provenance boxes, RCM-ordered imports) the distinct
+      index-delta set is small and the semi-Lagrangian gather becomes a
+      static sparse STENCIL: a handful of weighted rolls, no TPU gathers
+      at all (VERDICT r3 item 3: measured ~1e9 gathered-rows/s is the
+      gather path's hard ceiling on this part).
     """
 
     ids: np.ndarray
     weights: np.ndarray
     outside: np.ndarray
+    stencil: "Optional[Tuple[np.ndarray, np.ndarray]]" = None
 
 
 def _monomial_multi_indices(dim: int, degree: int):
@@ -506,3 +516,41 @@ def build_foot_tables_for_model(
                 out[(a, k, direction)] = _locate_feet(
                     grid, locate, cells_arr, c, a, direction, dt, order)
     return out
+
+
+def compress_foot_tables(tables: Dict, cap: int = 64) -> Dict:
+    """Annotate foot tables with their compressed-stencil form where the
+    distinct index-delta count permits (VERDICT r3 item 3).
+
+    The semi-Lagrangian interpolation ``sum_j w[n,j] f[ids[n,j]]`` is a
+    static sparse operator on the node vector.  When node ordering is
+    local (any lattice-provenance box mesh is lexicographic; imported
+    meshes can be RCM-ordered), ``ids[n,j] - n`` takes few distinct
+    values, and the operator regroups BY DELTA into
+    ``sum_d W[d] * roll(f, -delta_d)`` — a weighted-roll stencil with NO
+    gathers.  TPU gathers sustain ~1e9 rows/s on this part (measured,
+    tools/simplex_probe.py) while rolls are plain vector ops, so this is
+    the difference between gather-bound and compute-bound sweeps.
+
+    Tables whose delta set exceeds ``cap`` (genuinely unordered meshes,
+    high-order MLS tables with wide neighborhoods) keep ``stencil=None``
+    and fall back to the batched gather path.  The regrouped sum is
+    algebraically identical per node (summation order differs → f32
+    results differ by ulps).
+    """
+    for key, t in tables.items():
+        n, k = t.ids.shape
+        delta = t.ids.astype(np.int64) - np.arange(n, dtype=np.int64)[:, None]
+        uniq = np.unique(delta)
+        if len(uniq) > cap:
+            continue
+        # float64 like FootTables.weights: the stage casts to the state
+        # dtype at use, and x64 runs must not see f32-rounded weights
+        # (impedance-scaled invariants amplify weight rounding by ~z)
+        w = np.zeros((len(uniq), n), np.float64)
+        rows = np.searchsorted(uniq, delta)
+        cols = np.broadcast_to(np.arange(n)[:, None], (n, k))
+        np.add.at(w, (rows.ravel(), cols.ravel()),
+                  np.asarray(t.weights, np.float64).ravel())
+        tables[key] = dataclasses.replace(t, stencil=(uniq, w))
+    return tables

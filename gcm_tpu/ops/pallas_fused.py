@@ -242,6 +242,71 @@ def derive_window_mats(model: Model, mats: Dict[str, jnp.ndarray],
     return out
 
 
+# --------------------------------------------------------------- correctors
+
+def fold_corrector_specs(correctors, dt: float):
+    """Static in-kernel descriptors for the ODE correctors, or None if any
+    corrector cannot be folded (non-scalar Maxwell tau, unknown types).
+
+    Folding applies the split-step corrector to the output tile BEFORE the
+    store (VERDICT r3 item 8): a viscoelastic/damage step then stays a
+    single HBM pass instead of paying an extra full read+write of the
+    state for an elementwise update.  Returns (specs, naux): each damage
+    corrector consumes/produces one aux field slot, in corrector order.
+    """
+    from gcm_tpu.solver.correctors import DamageCorrector, MaxwellCorrector
+
+    specs = []
+    naux = 0
+    for c in correctors:
+        if isinstance(c, MaxwellCorrector) and jnp.ndim(c.tau) == 0:
+            import math
+
+            specs.append(("maxwell", math.exp(-dt / float(c.tau))))
+        elif isinstance(c, DamageCorrector):
+            specs.append(("damage", float(c.threshold), float(c.rate)))
+            naux += 1
+        else:
+            return None, 0
+    return tuple(specs), naux
+
+
+def _corrector_epilogue(model: Model, specs, comps, aux_in, dt: float):
+    """Apply folded correctors to in-VMEM output-tile comps; returns the
+    updated comps and the new aux fields (solver.correctors semantics)."""
+    from gcm_tpu.solver.correctors import (
+        _diag_stress_indices, _shear_stress_indices,
+    )
+
+    diag = _diag_stress_indices(model)
+    shear = _shear_stress_indices(model)
+    aux_out = []
+    qi = 0
+    for spec in specs:
+        if spec[0] == "maxwell":
+            decay = spec[1]
+            if diag:
+                mean = sum(comps[i] for i in diag) / len(diag)
+                for i in diag:
+                    comps[i] = mean + (comps[i] - mean) * decay
+                for i in shear:
+                    comps[i] = comps[i] * decay
+        else:  # damage
+            thr, rate = spec[1], spec[2]
+            d = aux_in[qi]
+            qi += 1
+            smax = comps[diag[0]]
+            for i in diag[1:]:
+                smax = jnp.maximum(smax, comps[i])
+            over = jnp.maximum(smax - thr, 0.0) / thr
+            d = jnp.clip(d + rate * over * dt, 0.0, 1.0)
+            factor = 1.0 - d
+            for i in diag + shear:
+                comps[i] = comps[i] * factor
+            aux_out.append(d)
+    return comps, aux_out
+
+
 # ------------------------------------------------------------------ window math
 
 def _row_mask(shape, d: int, lo: Optional[int] = None, hi: Optional[int] = None):
@@ -418,7 +483,9 @@ def _make_fused_kernel(model: Model, order: int, dtohs: Sequence[float],
                        borders: Optional[Borders],
                        axes_seq: Tuple[Tuple[int, ...], ...],
                        bx: int, by: int, nx: int, ny: int, nz: int,
-                       nm: int, ntx: int, nty: int):
+                       nm: int, ntx: int, nty: int,
+                       correctors: Tuple = (), naux: int = 0,
+                       dt_corr: float = 0.0):
     """``axes_seq``: one axes order per time step run inside the window.
     len(axes_seq) == 1 is the classic single-step kernel; K > 1 is the
     temporally blocked kernel (K steps per HBM pass, K*r halo) — each
@@ -456,7 +523,16 @@ def _make_fused_kernel(model: Model, order: int, dtohs: Sequence[float],
     _dst_x = {0: (0, halo), 1: (halo, bx), 2: (halo + bx, halo)}
     _dst_y = {0: (0, halo), 1: (halo, by), 2: (halo + by, halo)}
 
-    def kernel(u_hbm, m_hbm, out_ref, uwin, mwin, sem_u, sem_m):
+    def kernel(*refs):
+        # with folded correctors the call gains a pipelined aux input
+        # block and a second (aux) output; scratch refs always trail
+        if naux:
+            u_hbm, m_hbm, aux_ref, out_ref, aux_out = refs[:5]
+            uwin, mwin, sem_u, sem_m = refs[5:]
+        else:
+            u_hbm, m_hbm, out_ref = refs[:3]
+            aux_ref = aux_out = None
+            uwin, mwin, sem_u, sem_m = refs[3:]
         ix = pl.program_id(0)
         iy = pl.program_id(1)
         t = ix * nty + iy
@@ -564,6 +640,12 @@ def _make_fused_kernel(model: Model, order: int, dtohs: Sequence[float],
                                1, m_out, lo_y, hi_y)
                     for c in comps]
 
+        if correctors:
+            aux_in = ([aux_ref[q] for q in range(naux)] if naux else [])
+            comps, aux_new = _corrector_epilogue(
+                model, correctors, comps, aux_in, dt_corr)
+            for q in range(naux):
+                aux_out[q] = aux_new[q]
         for c in range(C):
             out_ref[c] = comps[c]
 
@@ -780,7 +862,9 @@ def fused_step_slab(
 def _make_2d_kernel(model: Model, order: int, dtohs: Sequence[float],
                     borders: Optional[Borders],
                     axes_seq: Tuple[Tuple[int, ...], ...],
-                    bx: int, nx: int, ny: int, nm: int, ntx: int):
+                    bx: int, nx: int, ny: int, nm: int, ntx: int,
+                    correctors: Tuple = (), naux: int = 0,
+                    dt_corr: float = 0.0):
     """2D fused full-step kernel: x tiled with halo segments, y is the
     lane axis (in-VMEM edge pad) — the 2D analogue of the slab kernel.
     Takes 2D scenarios off the per-sweep-kernel fallback (round-1 verdict
@@ -818,7 +902,14 @@ def _make_2d_kernel(model: Model, order: int, dtohs: Sequence[float],
 
     _dst_x = {0: 0, 1: H, 2: H + bx}
 
-    def kernel(u_hbm, m_hbm, out_ref, uwin, mwin, sem_u, sem_m):
+    def kernel(*refs):
+        if naux:
+            u_hbm, m_hbm, aux_ref, out_ref, aux_out = refs[:5]
+            uwin, mwin, sem_u, sem_m = refs[5:]
+        else:
+            u_hbm, m_hbm, out_ref = refs[:3]
+            aux_ref = aux_out = None
+            uwin, mwin, sem_u, sem_m = refs[3:]
         t = pl.program_id(0)
         slot, nslot = t % 2, (t + 1) % 2
 
@@ -873,6 +964,12 @@ def _make_2d_kernel(model: Model, order: int, dtohs: Sequence[float],
             if m_out > 0:
                 comps = [_patch_dim(c, 0, m_out, lo_x, hi_x)
                          for c in comps]
+        if correctors:
+            aux_in = ([aux_ref[q] for q in range(naux)] if naux else [])
+            comps, aux_new = _corrector_epilogue(
+                model, correctors, comps, aux_in, dt_corr)
+            for q in range(naux):
+                aux_out[q] = aux_new[q]
         for c in range(C):
             out_ref[c] = comps[c]
 
@@ -892,7 +989,9 @@ def fused_step_2d(
     interpret: Optional[bool] = None,
     vmem_budget: int = 64 * 1024 * 1024,
     axes_seq: Optional[Sequence[Sequence[int]]] = None,
-) -> jnp.ndarray:
+    correctors: Optional[Tuple] = None,
+    aux: Optional[jnp.ndarray] = None,
+):
     """One full 2D time step as a single fused Pallas kernel.
 
     Same contract as :func:`fused_step` for ``model.dim == 2``: ``mstack``
@@ -927,20 +1026,38 @@ def fused_step_2d(
             f"{vmem_budget/1e6:.0f} MB VMEM at ny={ny}")
     ntx = nx // bx
     dtohs = [float(dt / h[a]) for a in range(2)]
+    specs = tuple(correctors) if correctors else ()
+    naux = aux.shape[0] if (specs and aux is not None) else 0
+    if specs and any(s[0] == "damage" for s in specs) and aux is None:
+        raise ValueError("damage correctors need the aux array")
     kernel, X = _make_2d_kernel(
-        model, order, dtohs, borders, axes_seq, bx, nx, ny, nm, ntx)
+        model, order, dtohs, borders, axes_seq, bx, nx, ny, nm, ntx,
+        correctors=specs, naux=naux, dt_corr=float(dt))
 
     nsegs = 3 if len(axes_seq) * r > 0 else 1
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = pl.BlockSpec((C, bx, ny), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((C, nx, ny), u.dtype)
+    operands = (u, mstack)
+    if naux:
+        in_specs.append(pl.BlockSpec((naux, bx, ny), lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs = [out_specs,
+                     pl.BlockSpec((naux, bx, ny), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((naux, nx, ny), aux.dtype)]
+        operands = (u, mstack, aux)
     out = pl.pallas_call(
         kernel,
         grid=(ntx,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((C, bx, ny), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, nx, ny), u.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, C, X, ny), u.dtype),
             pltpu.VMEM((2, nm, X, ny), mstack.dtype),
@@ -954,7 +1071,7 @@ def fused_step_2d(
         **({"interpret": True} if (interpret if interpret is not None
                            else jax.default_backend() != "tpu")
            else {}),
-    )(u, mstack)
+    )(*operands)
     return out
 
 
@@ -998,7 +1115,9 @@ def fused_step(
     interpret: Optional[bool] = None,
     vmem_budget: int = 64 * 1024 * 1024,
     axes_seq: Optional[Sequence[Sequence[int]]] = None,
-) -> jnp.ndarray:
+    correctors: Optional[Tuple] = None,
+    aux: Optional[jnp.ndarray] = None,
+):
     """One full 3D time step as a single fused Pallas kernel — or, with
     ``axes_seq`` of length K, K consecutive time steps per HBM pass
     (temporal blocking: the window carries a K*r halo and each
@@ -1017,6 +1136,9 @@ def fused_step(
     DMA roofline.
     """
     if u.ndim == 4 and mstack.dtype == jnp.bfloat16:
+        if correctors:
+            raise ValueError("bf16 (slab-kernel) path does not fold "
+                             "correctors; apply them as a separate pass")
         return fused_step_slab(model, u, mstack, dt, h, order, borders,
                                axes, interpret=interpret,
                                vmem_budget=max(vmem_budget,
@@ -1056,21 +1178,40 @@ def fused_step(
     ntx, nty = nx // bx, ny // by
     dtohs = [float(dt / h[a]) for a in range(3)]
 
+    specs = tuple(correctors) if correctors else ()
+    naux = aux.shape[0] if (specs and aux is not None) else 0
+    if specs and any(s[0] == "damage" for s in specs) and aux is None:
+        raise ValueError("damage correctors need the aux array")
     kernel, X, Y = _make_fused_kernel(
         model, order, dtohs, borders, axes_seq, bx, by, nx, ny, nz, nm,
-        ntx, nty)
+        ntx, nty, correctors=specs, naux=naux, dt_corr=float(dt))
 
     nsegs = 9 if halo > 0 else 1
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = pl.BlockSpec((C, bx, by, nz), lambda i, j: (0, i, j, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((C, nx, ny, nz), u.dtype)
+    operands = (u, mstack)
+    if naux:
+        in_specs.append(pl.BlockSpec((naux, bx, by, nz),
+                                     lambda i, j: (0, i, j, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs = [out_specs,
+                     pl.BlockSpec((naux, bx, by, nz),
+                                  lambda i, j: (0, i, j, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((naux, nx, ny, nz), aux.dtype)]
+        operands = (u, mstack, aux)
     out = pl.pallas_call(
         kernel,
         grid=(ntx, nty),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((C, bx, by, nz), lambda i, j: (0, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, nx, ny, nz), u.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, C, X, Y, nz), u.dtype),
             pltpu.VMEM((2, nm, X, Y, nz), mstack.dtype),
@@ -1086,5 +1227,5 @@ def fused_step(
         **({"interpret": True} if (interpret if interpret is not None
                            else jax.default_backend() != "tpu")
            else {}),
-    )(u, mstack)
+    )(*operands)
     return out

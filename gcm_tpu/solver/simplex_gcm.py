@@ -134,11 +134,27 @@ def simplex_stage(
     interp: Dict[Tuple, Dict[int, jnp.ndarray]] = {}
     for key, clist in table_comps.items():
         t = tables[key]
-        ids = jnp.asarray(t.ids)
-        wts = jnp.asarray(t.weights, dtype=u.dtype)
-        rows = jnp.take(u[jnp.asarray(clist)].T, ids, axis=0)  # [N, K, m]
-        vals = (rows * wts[:, :, None]).sum(axis=1)            # [N, m]
-        interp[key] = {c: vals[:, j] for j, c in enumerate(clist)}
+        if getattr(t, "stencil", None) is not None:
+            # compressed-stencil form (grids.simplex.compress_foot_tables):
+            # the gather regroups by index delta into |D| weighted rolls —
+            # no TPU gathers (measured ~1e9 gathered-rows/s is the gather
+            # path's ceiling on this part; rolls are plain vector ops).
+            # Out-of-range rolled rows wrap circularly, but their weight
+            # is structurally zero.  Comp-major throughout: no transposes.
+            deltas, wst = t.stencil
+            usel = u[jnp.asarray(clist)]                 # [m, N]
+            wj = jnp.asarray(wst, dtype=u.dtype)         # [nd, N]
+            acc = None
+            for i, d in enumerate(deltas):
+                term = wj[i] * jnp.roll(usel, -int(d), axis=1)
+                acc = term if acc is None else acc + term
+            interp[key] = {c: acc[j] for j, c in enumerate(clist)}
+        else:
+            ids = jnp.asarray(t.ids)
+            wts = jnp.asarray(t.weights, dtype=u.dtype)
+            rows = jnp.take(u[jnp.asarray(clist)].T, ids, axis=0)  # [N,K,m]
+            vals = (rows * wts[:, :, None]).sum(axis=1)            # [N, m]
+            interp[key] = {c: vals[:, j] for j, c in enumerate(clist)}
 
     for k, p in enumerate(st.pairs):
         if k not in pair_keys:

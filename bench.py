@@ -55,6 +55,10 @@ def run_worker(path: str, shape) -> None:
 
     if path == "simplex":
         return _run_simplex_worker()
+    if path == "contact":
+        return _run_contact_worker()
+    if path == "visco":
+        return _run_visco_worker()
     fwd, u0, mat = g._flagship(shape)
     if path == "pallas":
         fwd = g._flagship_pallas(shape)
@@ -99,41 +103,144 @@ def _run_simplex_worker() -> None:
     from gcm_tpu.solver.simplex_gcm import simplex_stage
 
     rng = np.random.default_rng(0)
-    n = 33
-    grid = SimplexGrid.box((0, 0, 0), (1.0, 1.0, 1.0), (n, n, n),
-                           jitter=0.15)
-    mat = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
-    u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(np.float32)
-    eng = SimplexEngine(grid, "elastic3d", mat, cfl=0.8, u0=u0,
-                        dtype=jnp.float32)
 
-    def pair(u):
-        # one symmetrized step pair — the engine's production pattern
-        for axis in (0, 1, 2):
-            u = simplex_stage(eng.model, u, eng.mat, eng.tables, axis,
-                              eng.border_kind)
-        for axis in (2, 1, 0):
-            u = simplex_stage(eng.model, u, eng.mat, eng.tables, axis,
-                              eng.border_kind)
-        return u
+    def measure(n):
+        grid = SimplexGrid.box((0, 0, 0), (1.0, 1.0, 1.0), (n, n, n),
+                               jitter=0.15)
+        mat = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0,
+                                            cs=2300.0)
+        u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(np.float32)
+        eng = SimplexEngine(grid, "elastic3d", mat, cfl=0.8, u0=u0,
+                            dtype=jnp.float32)
 
-    K = 10      # pairs -> 2K steps
+        def pair(u):
+            # one symmetrized step pair — the engine's production pattern
+            for axis in (0, 1, 2):
+                u = simplex_stage(eng.model, u, eng.mat, eng.tables, axis,
+                                  eng.border_kind)
+            for axis in (2, 1, 0):
+                u = simplex_stage(eng.model, u, eng.mat, eng.tables, axis,
+                                  eng.border_kind)
+            return u
+
+        K = 10      # pairs -> 2K steps
+
+        @jax.jit
+        def scan_steps(u):
+            return jax.lax.scan(lambda u, _: (pair(u), None), u, None,
+                                length=K)[0]
+
+        u = scan_steps(eng.u)
+        v = float(np.asarray(u[0, 0]))
+        assert np.isfinite(v)
+        t0 = time.perf_counter()
+        u = scan_steps(u)
+        float(np.asarray(u[0, 0]))
+        return (time.perf_counter() - t0) / (2 * K), int(grid.npoints)
+
+    # n=33: the round-1..3 continuity mesh (per-op-overhead-bound);
+    # n=65: production-size mesh where the stencil path amortizes
+    t_step, npts = measure(33)
+    t65, npts65 = measure(65)
+    print(json.dumps({"path": "simplex", "t_step": t_step,
+                      "npoints": npts,
+                      "t_step_n65": t65, "npoints_n65": npts65}))
+
+
+def _run_contact_worker() -> None:
+    """Multi-body contact/fracture throughput (BASELINE config 4) on the
+    fused full-step composition (VERDICT r3 item 2): each body one HBM
+    pass + face-slab contact fixups. Reports AGGREGATE grid-points/s over
+    both bodies."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gcm_tpu.engine_multi import MultiBodyEngine
+    from gcm_tpu.scenarios import elastic3d_contact
+
+    bodies, contacts = elastic3d_contact(n=256, nsteps=40)
+    bodies = {k: dataclasses.replace(t, kernel="pallas_fused")
+              for k, t in bodies.items()}
+    eng = MultiBodyEngine(bodies, contacts)
+    path_used = "fused" if eng._fused_multi is not None else (
+        "pallas" if eng._raw_stage is not None else "jnp")
+    nsrc = len(eng._srcs)
+    amp = jnp.full((nsrc,), 1e3, jnp.float32)
+    K = 10
 
     @jax.jit
-    def scan_steps(u):
-        return jax.lax.scan(lambda u, _: (pair(u), None), u, None,
-                            length=K)[0]
+    def scan_steps(carry):
+        def body(c, _):
+            us, bonded, auxs = c
+            us, bonded, auxs = eng._one_step(us, bonded, auxs, amp, 0)
+            us, bonded, auxs = eng._one_step(us, bonded, auxs, amp, 1)
+            return (us, bonded, auxs), None
 
-    u = scan_steps(eng.u)
-    v = float(np.asarray(u[0, 0]))
+        return jax.lax.scan(body, carry, None, length=K, unroll=2)[0]
+
+    carry = (eng.us, eng.bonded, eng.auxs)
+    carry = scan_steps(carry)
+    v = float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
     assert np.isfinite(v)
     t0 = time.perf_counter()
-    u = scan_steps(u)
-    float(np.asarray(u[0, 0]))
+    carry = scan_steps(carry)
+    float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
     t_step = (time.perf_counter() - t0) / (2 * K)
-    # report npoints too (grid size isn't the structured SHAPE)
-    print(json.dumps({"path": "simplex", "t_step": t_step,
-                      "npoints": int(grid.npoints)}))
+    npts = sum(int(np.prod(t.grid.shape)) for t in eng.tasks.values())
+    print(json.dumps({"path": "contact", "t_step": t_step,
+                      "npoints": npts, "multi_path": path_used}))
+
+
+def _run_visco_worker() -> None:
+    """Viscoelastic+damage throughput with correctors folded into the
+    fused kernel's epilogue (VERDICT r3 item 8) at the flagship shape."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from gcm_tpu.models.spec import get_model
+    from gcm_tpu.ops.pallas_fused import (
+        fold_corrector_specs, fused_step, stack_mats)
+    from gcm_tpu.solver.correctors import DamageCorrector, MaxwellCorrector
+    from gcm_tpu.task import BorderSpec
+
+    shape = SHAPE
+    model = get_model("elastic3d")
+    _, u0, mat = g._flagship(shape)
+    mstack = stack_mats(model, mat, compact=True)
+    h = (10.0, 10.0, 10.0)
+    z = np.linspace(0.0, 1.0, shape[2])[None, None, :]
+    dt = 0.8 * min(h) / float((2100.0 + 3100.0 * z).max())
+    borders = {(a, s): BorderSpec("absorbing")
+               for a in range(3) for s in (0, 1)}
+    borders[(2, 0)] = BorderSpec("free")
+    corr = (MaxwellCorrector(tau=50 * dt),
+            DamageCorrector(threshold=5e5, rate=0.1 / dt))
+    specs, _ = fold_corrector_specs(corr, dt)
+    aux0 = jnp.zeros((1,) + shape, jnp.float32)
+    K = 10
+
+    @jax.jit
+    def scan_steps(carry):
+        def body(c, _):
+            u, aux = c
+            for axes in ((0, 1, 2), (2, 1, 0)):
+                u, aux = fused_step(model, u, mstack, dt, h, 2, borders,
+                                    axes, correctors=specs, aux=aux)
+            return (u, aux), None
+
+        return jax.lax.scan(body, carry, None, length=K, unroll=2)[0]
+
+    carry = scan_steps((jnp.asarray(u0), aux0))
+    v = float(np.asarray(carry[0][0, 0, 0, 0]))
+    assert np.isfinite(v)
+    t0 = time.perf_counter()
+    carry = scan_steps(carry)
+    float(np.asarray(carry[0][0, 0, 0, 0]))
+    t_step = (time.perf_counter() - t0) / (2 * K)
+    print(json.dumps({"path": "visco", "t_step": t_step}))
 
 
 def _run_path_subprocess(path: str, shape):
@@ -171,6 +278,8 @@ def main():
     t_pal, err_pal, _ = _run_path_with_retry("pallas", shape)
     t_fus, err_fus, _ = _run_path_with_retry("fused", shape)
     t_sim, err_sim, rec_sim = _run_path_with_retry("simplex", shape)
+    t_con, err_con, rec_con = _run_path_with_retry("contact", shape)
+    t_vis, err_vis, _ = _run_path_with_retry("visco", shape)
 
     results = {}
     if t_jnp:
@@ -201,8 +310,23 @@ def main():
         # unstructured (BASELINE config 5) throughput, informational
         extras["simplex_points_per_s"] = round(
             rec_sim["npoints"] / t_sim, 1)
+        if rec_sim.get("t_step_n65"):
+            extras["simplex_points_per_s_n65"] = round(
+                rec_sim["npoints_n65"] / rec_sim["t_step_n65"], 1)
     elif err_sim:
         extras["simplex_error"] = err_sim
+    if t_con and rec_con:
+        # multi-body contact/fracture (BASELINE config 4), aggregate over
+        # both bodies, on the fused full-step composition
+        extras["contact_points_per_s"] = round(rec_con["npoints"] / t_con, 1)
+        extras["contact_path"] = rec_con.get("multi_path")
+    elif err_con:
+        extras["contact_error"] = err_con
+    if t_vis:
+        # viscoelastic+damage with in-kernel corrector epilogue
+        extras["visco_points_per_s"] = round(npoints / t_vis, 1)
+    elif err_vis:
+        extras["visco_error"] = err_vis
     print(json.dumps({
         "metric": "grid-points/s/chip (3D elastic GCM step)",
         "value": round(best, 1),

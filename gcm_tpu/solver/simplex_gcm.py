@@ -132,6 +132,7 @@ def simplex_stage(
                 if c not in lst:
                     lst.append(c)
     interp: Dict[Tuple, Dict[int, jnp.ndarray]] = {}
+    gather_by_k: Dict[int, list] = {}
     for key, clist in table_comps.items():
         t = tables[key]
         if getattr(t, "stencil", None) is not None:
@@ -150,11 +151,28 @@ def simplex_stage(
                 acc = term if acc is None else acc + term
             interp[key] = {c: acc[j] for j, c in enumerate(clist)}
         else:
-            ids = jnp.asarray(t.ids)
-            wts = jnp.asarray(t.weights, dtype=u.dtype)
-            rows = jnp.take(u[jnp.asarray(clist)].T, ids, axis=0)  # [N,K,m]
-            vals = (rows * wts[:, :, None]).sum(axis=1)            # [N, m]
-            interp[key] = {c: vals[:, j] for j, c in enumerate(clist)}
+            gather_by_k.setdefault(int(t.ids.shape[1]), []).append(key)
+    if gather_by_k:
+        # fallback for non-compressible tables: ONE merged node-major
+        # row-gather per stencil width — fetch width is free (per-index
+        # cost dominates, tools/simplex_probe.py), so gathering all ncomp
+        # per row and merging tables saves the per-table transposes and
+        # dispatches (~20% measured over the round-3 per-table form)
+        u_nm = u.T                                       # [N, ncomp]
+        for kw, keys_k in gather_by_k.items():
+            ids_all = jnp.concatenate(
+                [jnp.asarray(tables[k].ids) for k in keys_k], 0)
+            wts_all = jnp.concatenate(
+                [jnp.asarray(tables[k].weights, dtype=u.dtype)
+                 for k in keys_k], 0)
+            rows = jnp.take(u_nm, ids_all, axis=0)       # [sumN, K, ncomp]
+            vals = (rows * wts_all[:, :, None]).sum(1)   # [sumN, ncomp]
+            off = 0
+            for k in keys_k:
+                nn = tables[k].ids.shape[0]
+                v = vals[off:off + nn]
+                off += nn
+                interp[k] = {c: v[:, c] for c in table_comps[k]}
 
     for k, p in enumerate(st.pairs):
         if k not in pair_keys:

@@ -187,11 +187,18 @@ class MultiBodyEngine:
                     f: b for f, b in self.borders[name].items()
                     if (name,) + f not in full_faces}
             ffn = fused_step if self.model.dim == 3 else fused_step_2d
+            #: fused-kernel tile size, read dynamically: smaller tiles cost
+            #: ~10% throughput but shrink the Mosaic payload ~4x (relevant
+            #: where a compile service caps program size, BASELINE.md r4)
+            self._fused_tile = (32, 64)
 
             def _fused_body(name, u, axes):
+                kw = {"bx": self._fused_tile[0]}
+                if self.model.dim == 3:
+                    kw["by"] = self._fused_tile[1]
                 return ffn(self.model, u, mstacks[name], self.dt,
                            self.hs[name], self.order, kernel_bcs[name],
-                           axes)
+                           axes, **kw)
 
             self._fused_multi = _fused_body
 

@@ -293,13 +293,38 @@ def step_multi_fused(
     Eligibility is :func:`fused_contacts_ok`; callers fall back to
     :func:`step_multi_fast` otherwise.
     """
+    axes = tuple(axes) if axes is not None else tuple(range(model.dim))
+    out: BodyStates = {name: fused_body(name, u, axes)
+                       for name, u in us.items()}
+    return apply_contact_fixups(model, us, out, mats, dt, hs, order,
+                                borders, contacts, bonded, axes)
+
+
+def apply_contact_fixups(
+    model: Model,
+    us: BodyStates,
+    out: BodyStates,
+    mats: Dict[str, MaterialFields],
+    dt: float,
+    hs: Dict[str, Sequence[float]],
+    order: int,
+    borders: Dict[str, Dict[Tuple[int, int], BorderSpec]],
+    contacts: Sequence[ContactSpec],
+    bonded: BondedState,
+    axes: Tuple[int, ...],
+) -> Tuple[BodyStates, BondedState]:
+    """The face-slab fixup phase of :func:`step_multi_fused`, standalone:
+    pure jnp on (pre-step states, raw fused outputs).  Exposed separately
+    so callers can jit the per-body kernel calls and this phase as
+    independent programs (e.g. compile services that cap program size).
+    """
     import jax
 
     from gcm_tpu.ops.interp import stencil_radius
     from gcm_tpu.solver.contact import apply_contact_post
     from gcm_tpu.solver.gcm import stage
 
-    axes = tuple(axes) if axes is not None else tuple(range(model.dim))
+    axes = tuple(axes)
     r = stencil_radius(order)
     depth = r + 1
     dim = model.dim
@@ -309,8 +334,7 @@ def step_multi_fused(
         sl[a] = slice(-n, None) if side == 1 else slice(0, n)
         return tuple(sl)
 
-    out: BodyStates = {name: fused_body(name, u, axes)
-                       for name, u in us.items()}
+    out = dict(out)
     new_bonded = dict(bonded)
 
     for ci, c in enumerate(contacts):

@@ -270,9 +270,10 @@ def test_fused_corrector_epilogue_matches_jnp(rng):
     assert float(jnp.asarray(gaux).max()) > 1e-4, \
         "test must exercise nontrivial damage"
     _compare(model, got, want, tol=2e-6)
+    # atol absorbs threshold-crossing knife-edges in max(smax - thr, 0)
     np.testing.assert_allclose(np.asarray(gaux[0]),
                                np.asarray(waux["damage"]),
-                               rtol=1e-5, atol=1e-7)
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_fused_corrector_epilogue_2d(rng):

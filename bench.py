@@ -170,85 +170,29 @@ def _run_contact_worker() -> None:
     amp = jnp.full((nsrc,), 1e3, jnp.float32)
     K = 10
 
-    # The axon remote-compile proxy caps the HTTP request body; a scanned
-    # pair of fused multi-body steps embeds 4 Mosaic kernel payloads plus
-    # the fixup graphs and trips it at the default 32x64 tiles.  Tier 1:
-    # shrink tiles to 16x32 (~4x smaller payloads, ~10% slower kernels,
-    # round-2 tile sweep) and run the ONE-PROGRAM scan.  Tier 2 fallback:
-    # split programs per body + fixup phase, python-dispatched (honest but
-    # dispatch-latency-bound on this tunnel).
-    from functools import partial
+    # Materials thread through jit as ARGS (engine._step_params): with
+    # closure-captured stacks this program serialized at ~270 MB and
+    # tripped the axon remote-compile proxy's HTTP body cap; as args it
+    # is ~0.5 MB.
+    params = eng._step_params()
 
-    from gcm_tpu.solver.multi import apply_contact_fixups
+    @jax.jit
+    def scan_pairs(carry, params):
+        def body(c, _):
+            us, bonded, auxs = c
+            us, bonded, auxs = eng._one_step(us, bonded, auxs, amp, 0,
+                                             params)
+            us, bonded, auxs = eng._one_step(us, bonded, auxs, amp, 1,
+                                             params)
+            return (us, bonded, auxs), None
 
-    if eng._fused_multi is not None:
-        eng._fused_tile = (16, 32)
-        try:
-            @jax.jit
-            def scan_pairs(carry):
-                def body(c, _):
-                    us, bonded, auxs = c
-                    us, bonded, auxs = eng._one_step(us, bonded, auxs,
-                                                     amp, 0)
-                    us, bonded, auxs = eng._one_step(us, bonded, auxs,
-                                                     amp, 1)
-                    return (us, bonded, auxs), None
+        return jax.lax.scan(body, carry, None, length=K)[0]
 
-                return jax.lax.scan(body, carry, None, length=K)[0]
-
-            carry = scan_pairs((eng.us, eng.bonded, eng.auxs))
-            v = float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
-            assert np.isfinite(v)
-            t0 = time.perf_counter()
-            carry = scan_pairs(carry)
-            float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
-            t_step = (time.perf_counter() - t0) / (2 * K)
-            npts = sum(int(np.prod(t.grid.shape))
-                       for t in eng.tasks.values())
-            print(json.dumps({"path": "contact", "t_step": t_step,
-                              "npoints": npts,
-                              "multi_path": "fused_scan16x32"}))
-            return
-        except Exception as e:  # noqa: BLE001 — proxy cap: fall through
-            sys.stderr.write(f"contact scan tier failed: {e!r:.300}\n")
-            eng._fused_tile = (32, 64)
-
-    if eng._fused_multi is not None:
-        body_jits = {}
-        for name in eng.tasks:
-            for axes in ((0, 1, 2), (2, 1, 0)):
-                body_jits[name, axes] = jax.jit(
-                    partial(eng._fused_multi, name, axes=axes))
-        fix_jits = {
-            axes: jax.jit(partial(
-                apply_contact_fixups, eng.model, mats=eng.mats, dt=eng.dt,
-                hs=eng.hs, order=eng.order, borders=eng.borders,
-                contacts=eng.contacts, axes=axes))
-            for axes in ((0, 1, 2), (2, 1, 0))
-        }
-
-        def one_step(carry, parity):
-            us, bonded, auxs = carry
-            axes = (0, 1, 2) if parity == 0 else (2, 1, 0)
-            out = {name: body_jits[name, axes](us[name]) for name in us}
-            us2, bonded = fix_jits[axes](us, out=out, bonded=bonded)
-            return (us2, bonded, auxs)
-    else:
-        @jax.jit
-        def _step(carry, parity):
-            us, bonded, auxs = carry
-            return eng._one_step(us, bonded, auxs, amp, parity)
-
-        def one_step(carry, parity):
-            return _step(carry, parity)
-
-    carry = (eng.us, eng.bonded, eng.auxs)
-    carry = one_step(one_step(carry, 0), 1)
+    carry = scan_pairs((eng.us, eng.bonded, eng.auxs), params)
     v = float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
     assert np.isfinite(v)
     t0 = time.perf_counter()
-    for _ in range(K):
-        carry = one_step(one_step(carry, 0), 1)
+    carry = scan_pairs(carry, params)
     float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
     t_step = (time.perf_counter() - t0) / (2 * K)
     npts = sum(int(np.prod(t.grid.shape)) for t in eng.tasks.values())

@@ -260,20 +260,33 @@ class Engine:
 
     # ------------------------------------------------------------------ step
 
-    def _one_step(self, u, aux, src_amp, step_parity: int):
+    def _step_params(self):
+        """Material state threaded through jit boundaries as ARGUMENTS.
+        Closure-captured material arrays are serialized INTO the program
+        (measured: a 256³ compact mstack adds 134 MB to the HLO proto),
+        which bloats every compile and trips size-capped compile services;
+        passing them as args makes them plain runtime parameters."""
+        return {"mstack": self._mstack, "mext": self._mext,
+                "mat": self.mat}
+
+    def _one_step(self, u, aux, src_amp, step_parity: int, params=None):
         task, model = self.task, self.model
+        if params is None:
+            params = self._step_params()
         axes = tuple(range(model.dim))
         if task.symmetrize_stages and step_parity == 1:
             axes = axes[::-1]
         if self._spmd_step is not None:
-            carry = self._mext if self._mext is not None else self.mat
+            carry = params["mext"] if params["mext"] is not None \
+                else params["mat"]
             u = self._spmd_step(u, carry, axes)
         elif self._mstack is not None:
+            mstack = params["mstack"]
             if self._fold_specs is not None:
                 if self._fold_naux:
                     astack = jnp.stack([aux["damage"]])
                     u, astack = self._fused_fn(
-                        model, u, self._mstack, self.dt, task.grid.h,
+                        model, u, mstack, self.dt, task.grid.h,
                         task.order, task.borders, axes,
                         correctors=self._fold_specs, aux=astack,
                     )
@@ -281,25 +294,25 @@ class Engine:
                     aux["damage"] = astack[0]
                 else:
                     u = self._fused_fn(
-                        model, u, self._mstack, self.dt, task.grid.h,
+                        model, u, mstack, self.dt, task.grid.h,
                         task.order, task.borders, axes,
                         correctors=self._fold_specs,
                     )
                 return u, aux   # correctors already applied in-kernel
             u = self._fused_fn(
-                model, u, self._mstack, self.dt, task.grid.h, task.order,
+                model, u, mstack, self.dt, task.grid.h, task.order,
                 task.borders, axes,
             )
         elif self.kernel in ("pallas", "pallas_fused") and model.dim in (2, 3):
             from gcm_tpu.ops.pallas_stage import pallas_step
 
             u = pallas_step(
-                model, u, self.mat, self.dt, task.grid.h, task.order,
+                model, u, params["mat"], self.dt, task.grid.h, task.order,
                 task.borders, axes, cx=32,
             )
         else:
             u = solver_step(
-                model, u, self.mat, self.dt, task.grid.h, task.order,
+                model, u, params["mat"], self.dt, task.grid.h, task.order,
                 task.borders, axes,
             )
         for k, (node, comp) in enumerate(self._src_idx):
@@ -337,30 +350,33 @@ class Engine:
         if pair_fused:
             fwd = tuple(range(model.dim))
 
-            def body(carry, x):
+            def body(carry, x, params):
                 u, aux = carry
                 u = self._fused_fn(
-                    model, u, self._mstack, self.dt, task.grid.h,
+                    model, u, params["mstack"], self.dt, task.grid.h,
                     task.order, task.borders,
                     axes_seq=(fwd, fwd[::-1]),
                 )
                 return (u, aux), jnp.zeros((period, 0, model.ncomp),
                                            u.dtype)
         else:
-            def body(carry, x):
+            def body(carry, x, params):
                 u, aux = carry
                 amps = x  # [period, nsrc]
                 trs = []
                 for p in range(period):
-                    u, aux = self._one_step(u, aux, amps[p], p)
+                    u, aux = self._one_step(u, aux, amps[p], p, params)
                     trs.append(self._detect(u))
                 return (u, aux), jnp.stack(trs)  # [period, npoints, ncomp]
 
         unroll = max(1, int(getattr(self.task, "scan_unroll", 1)))
 
+        # materials enter as jit ARGS, not closure constants (see
+        # _step_params — closure constants serialize into the program)
         @partial(jax.jit, donate_argnums=0)
-        def scan_steps(carry, amps_chunk):
-            return jax.lax.scan(body, carry, amps_chunk, unroll=unroll)
+        def scan_steps(carry, amps_chunk, params):
+            return jax.lax.scan(lambda c, x: body(c, x, params),
+                                carry, amps_chunk, unroll=unroll)
 
         return scan_steps, period
 
@@ -400,7 +416,8 @@ class Engine:
             take = min(chunk, nfull_end - done) // period
             amps_chunk = self._src_amps[done:done + take * period].reshape(
                 take, period, nsrc)
-            (u, aux), tr = scan_steps((u, aux), amps_chunk)
+            (u, aux), tr = scan_steps((u, aux), amps_chunk,
+                                      self._step_params())
             traces.append(tr)
             done += take * period
             # keep current for checkpointing callbacks

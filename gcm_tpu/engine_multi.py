@@ -192,11 +192,14 @@ class MultiBodyEngine:
             #: where a compile service caps program size, BASELINE.md r4)
             self._fused_tile = (32, 64)
 
-            def _fused_body(name, u, axes):
+            self._mstacks = mstacks
+
+            def _fused_body(name, u, axes, mstack=None):
                 kw = {"bx": self._fused_tile[0]}
                 if self.model.dim == 3:
                     kw["by"] = self._fused_tile[1]
-                return ffn(self.model, u, mstacks[name], self.dt,
+                ms = mstack if mstack is not None else mstacks[name]
+                return ffn(self.model, u, ms, self.dt,
                            self.hs[name], self.order, kernel_bcs[name],
                            axes, **kw)
 
@@ -270,29 +273,44 @@ class MultiBodyEngine:
         # odd (period-misaligned) checkpoints are fine: run() realigns with
         # single forward steps, like every other engine (VERDICT r3 weak #6)
 
-    def _one_step(self, us, bonded, auxs, n_amp, parity: int):
+    def _step_params(self):
+        """Material state threaded through jit boundaries as ARGUMENTS
+        (closure-captured stacks serialize into the program: two 256³
+        bodies add ~270 MB of HLO proto, tripping size-capped compile
+        services — measured round 4)."""
+        return {"mstacks": getattr(self, "_mstacks", None),
+                "mats": self.mats}
+
+    def _one_step(self, us, bonded, auxs, n_amp, parity: int, params=None):
+        if params is None:
+            params = self._step_params()
         axes = tuple(range(self.model.dim))
         if self.symmetrize and parity == 1:
             axes = axes[::-1]
         if self._fused_multi is not None:
             from gcm_tpu.solver.multi import step_multi_fused
 
+            ms = params["mstacks"]
+
+            def fb(name, u, axes_):
+                return self._fused_multi(name, u, axes_, ms[name])
+
             us, bonded = step_multi_fused(
-                self.model, us, self.mats, self.dt, self.hs, self.order,
-                self.borders, self.contacts, bonded, self._fused_multi,
-                axes,
+                self.model, us, params["mats"], self.dt, self.hs,
+                self.order, self.borders, self.contacts, bonded, fb, axes,
             )
         elif self._raw_stage is not None:
             from gcm_tpu.solver.multi import step_multi_fast
 
             us, bonded = step_multi_fast(
-                self.model, us, self.mats, self.borders, self.contacts,
+                self.model, us, params["mats"], self.borders, self.contacts,
                 bonded, self._raw_stage, axes, self.ncmaps,
             )
         else:
             us, bonded = step_multi(
-                self.model, us, self.mats, self.dt, self.hs, self.order,
-                self.borders, self.contacts, bonded, axes, self.ncmaps,
+                self.model, us, params["mats"], self.dt, self.hs,
+                self.order, self.borders, self.contacts, bonded, axes,
+                self.ncmaps,
             )
         for k, (name, node, comp, _) in enumerate(self._srcs):
             us = dict(us)
@@ -343,19 +361,22 @@ class MultiBodyEngine:
                 out[name] = us[name][(slice(None),) + sel].T
             return out
 
-        def body(carry, x):
+        def body(carry, x, params):
             us, bonded, auxs = carry
             trs = []
             for p in range(period):
-                us, bonded, auxs = self._one_step(us, bonded, auxs, x[p], p)
+                us, bonded, auxs = self._one_step(us, bonded, auxs, x[p],
+                                                  p, params)
                 trs.append(detect(us))
             stacked = {k: jnp.stack([t[k] for t in trs]) for k in trs[0]} \
                 if self._det_idx else {}
             return (us, bonded, auxs), stacked
 
+        # materials as jit ARGS, not closure constants (see _step_params)
         @partial(jax.jit, donate_argnums=0)
-        def scan_all(carry, amps):
-            return jax.lax.scan(body, carry, amps)
+        def scan_all(carry, amps, params):
+            return jax.lax.scan(lambda c, x: body(c, x, params),
+                                carry, amps)
 
         chunk = snapshot_every if (snapshot_cb and snapshot_every) else nfull
         chunk = max(period, -(-max(chunk, period) // period) * period)
@@ -375,7 +396,8 @@ class MultiBodyEngine:
             take = min(chunk, nfull - done) // period
             amps = amps_all[nhead + done:nhead + done + take * period].reshape(
                 take, period, nsrc)
-            (us, bonded, auxs), tr = scan_all((us, bonded, auxs), amps)
+            (us, bonded, auxs), tr = scan_all((us, bonded, auxs), amps,
+                                              self._step_params())
             traces.append(tr)
             done += take * period
             self.us, self.bonded, self.auxs = us, bonded, auxs

@@ -92,14 +92,20 @@ def stage_pair_updates(
     dt_over_h,
     axis: int,
     order: int,
+    dim_axis: int = None,
 ) -> Dict[int, Tuple[jnp.ndarray, jnp.ndarray, PairSpec]]:
     """Compute raw (pre-boundary-correction) invariant updates for each pair.
 
     Returns ``{pair_index: (w_l, w_r, pair_spec)}`` so the caller can apply
     characteristic boundary / contact corrections in invariant space before
     reconstruction (SURVEY.md §0.4).
+
+    ``dim_axis``: spatial array dimension the sweep runs along, when it
+    differs from the PHYSICAL ``axis`` (permuted slab layouts — contact
+    fixups move thin slab axes off the TPU lane dim; see
+    solver.multi.apply_contact_fixups).
     """
-    ax = axis  # component arrays u[i] are spatial-rank
+    ax = dim_axis if dim_axis is not None else axis
     out = {}
     for k, p in enumerate(model.stage(axis).pairs):
         A, B = u[p.sigma], u[p.vel]

@@ -263,6 +263,7 @@ def apply_contact_post(
     view_a,
     view_b,
     bonded: Optional[jnp.ndarray],
+    idx_axis: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Contact solve as a post-fixup on raw (border/contact-free) sweeps.
 
@@ -272,14 +273,18 @@ def apply_contact_post(
     fused Pallas kernels and stitch contacts with cheap slab math (mirrors
     solver.boundary.apply_borders_post). ``u_old_*`` are the pre-sweep
     states (needed to re-propagate the zero-speed invariants at the face).
+
+    ``idx_axis``: spatial array dimension of the interface normal when the
+    arrays are in a permuted layout (physics follows ``spec.axis``).
     """
     ax = spec.axis
     dim = model.dim
     st = model.stage(ax)
     _require_normal_pair(spec, st.pairs, ax)
     sign = model.sign
-    idx_a = face_sub_index(ax, 1, dim, spec.lo_a, spec.span)
-    idx_b = face_sub_index(ax, 0, dim, spec.lo_b, spec.span)
+    ax_idx = idx_axis if idx_axis is not None else ax
+    idx_a = face_sub_index(ax_idx, 1, dim, spec.lo_a, spec.span)
+    idx_b = face_sub_index(ax_idx, 0, dim, spec.lo_b, spec.span)
 
     glue = (bonded > 0.5) if bonded is not None else None
     s_star_n = None

@@ -51,12 +51,19 @@ def stage(
     axis: int,
     order: int,
     borders: Optional[Borders] = None,
+    dim_axis: Optional[int] = None,
 ) -> jnp.ndarray:
-    """One characteristic sweep along ``axis`` over the whole field array."""
-    ax = axis  # component arrays u[i] are spatial-rank
+    """One characteristic sweep along ``axis`` over the whole field array.
+
+    ``dim_axis`` separates the spatial array dimension from the physical
+    axis for permuted layouts (physics — stage spec, impedances, h,
+    border lookup — always follows ``axis``; slicing/shifting follows
+    ``dim_axis``)."""
+    ax = dim_axis if dim_axis is not None else axis
     st = model.stage(axis)
     view = mat.axis_view(axis, st)
-    pair_ws = stage_pair_updates(model, u, view, dt / h[axis], axis, order)
+    pair_ws = stage_pair_updates(model, u, view, dt / h[axis], axis, order,
+                                 dim_axis=ax)
 
     comps: Dict[int, jnp.ndarray] = {}
     for k, (w_l, w_r, p) in pair_ws.items():

@@ -59,10 +59,6 @@ Borders = Dict[Tuple[int, int], BorderSpec]
 
 _Z_EPS = 1e-30
 
-#: S/D-regrouped pair interpolation (half the window multiplies); the
-#: False branch keeps the four-interp form for interleaved A/B probes
-SD_INTERP = True
-
 
 # --------------------------------------------------------------- material stack
 
@@ -419,65 +415,21 @@ def _sweep_window(
 
         region = lambda f: f
 
-    # Per-speed-field Courant weights, regrouped into S/D (symmetric /
-    # antisymmetric) form: the +/- direction stencils share tap positions
-    # (offsets are direction-relative and the weight list is shared), so
-    # with cs_o = w(o)+w(-o), cd_o = w(o)-w(-o) the pair needs
-    #   S = sum_{o>0} cs_o (f[+o]+f[-o]) + 2 w_0 f[0] = i+ + i-
-    #   D = sum_{o>0} cd_o (f[+o]-f[-o])              = i+ - i-
-    # — HALF the window-size multiplies of the four-interp form (the
-    # kernel is VPU-compute-bound on v5e, BASELINE.md round-4 study).
-    rel = stencil_offsets(order, +1)
-    pos_taps = sorted({abs(o) for o in rel if o != 0})
-    has_center = 0 in rel
-    use_sd = SD_INTERP
-    sd_by_ckey = {}
+    # per-speed-field Courant weights at the target nodes.
+    # (A symmetric/antisymmetric regrouping that halves the multiplies was
+    # implemented and measured 25% SLOWER on-chip — Mosaic schedules the
+    # plain four-interp multiply-accumulate chains better than the
+    # regrouped form's extra tap-sum temporaries; BASELINE.md round-4.)
+    wts_by_ckey = {}
     for k, p in enumerate(st.pairs):
         ckey = keys.pair(axis, k, p)[0]
-        if ckey in sd_by_ckey:
-            continue
-        nu = region(mats[ckey]) * dt_over_h
-        wts = stencil_weights(order, nu)
-        w_of = {o: wts[i] for i, o in enumerate(rel)}
-        cs, cd = {}, {}
-        for o in pos_taps:
-            a, b = w_of.get(o), w_of.get(-o)
-            if a is not None and b is not None:
-                cs[o], cd[o] = a + b, a - b
-            elif a is not None:
-                cs[o] = cd[o] = a
-            else:
-                cs[o], cd[o] = b, -b
-        c0 = (2.0 * w_of[0]) if has_center else None
-        sd_by_ckey[ckey] = (cs, cd, c0, wts)
-
-    def tap_sums(fp):
-        f0 = _slab(fp, d, r, n_out) if has_center else None
-        sums, difs = {}, {}
-        for o in pos_taps:
-            hi = _slab(fp, d, r + o, n_out)
-            lo = _slab(fp, d, r - o, n_out)
-            sums[o], difs[o] = hi + lo, hi - lo
-        return f0, sums, difs
-
-    def sd(f0, sums, difs, coeffs):
-        cs, cd, c0 = coeffs[:3]
-        S = c0 * f0 if c0 is not None else None
-        for o in pos_taps:
-            t = cs[o] * sums[o]
-            S = t if S is None else S + t
-        D = None
-        for o in pos_taps:
-            t = cd[o] * difs[o]
-            D = t if D is None else D + t
-        return S, D
-
-    # measurement fallback: the four-interp form (SD_INTERP=False) for
-    # interleaved A/B probes on hardware (tools/sd_probe.py)
+        if ckey not in wts_by_ckey:
+            nu = region(mats[ckey]) * dt_over_h
+            wts_by_ckey[ckey] = stencil_weights(order, nu)
     offs_p = stencil_offsets(order, +1)
     offs_m = stencil_offsets(order, -1)
 
-    def interp4(fp, offs, wts):
+    def interp(fp, offs, wts):
         out = None
         for o, w_ in zip(offs, wts):
             t = w_ * _slab(fp, d, r + o, n_out)
@@ -487,24 +439,13 @@ def _sweep_window(
     new: Dict[int, jnp.ndarray] = {}
     for k, p in enumerate(st.pairs):
         ckey, zkey, rkey = keys.pair(axis, k, p)
+        A_pad = pad(comps[p.sigma])
+        B_pad = pad(comps[p.vel])
+        wts = wts_by_ckey[ckey]
         z = region(mats[zkey])
         szb = sign * z
-        if use_sd:
-            coeffs = sd_by_ckey[ckey]
-            S_A, D_A = sd(*tap_sums(pad(comps[p.sigma])), coeffs)
-            S_B, D_B = sd(*tap_sums(pad(comps[p.vel])), coeffs)
-            w_sum = S_A + szb * D_B
-            w_diff = D_A + szb * S_B
-            w_l = 0.5 * (w_sum + w_diff)
-            w_r = 0.5 * (w_sum - w_diff)
-        else:
-            wts = sd_by_ckey[ckey][3]
-            A_pad = pad(comps[p.sigma])
-            B_pad = pad(comps[p.vel])
-            w_l = interp4(A_pad, offs_p, wts) \
-                + szb * interp4(B_pad, offs_p, wts)
-            w_r = interp4(A_pad, offs_m, wts) \
-                - szb * interp4(B_pad, offs_m, wts)
+        w_l = interp(A_pad, offs_p, wts) + szb * interp(B_pad, offs_p, wts)
+        w_r = interp(A_pad, offs_m, wts) - szb * interp(B_pad, offs_m, wts)
 
         if borders is not None:
             for side in (0, 1):

@@ -163,8 +163,12 @@ def _run_contact_worker() -> None:
     bodies, contacts = elastic3d_contact(n=256, nsteps=40)
     bodies = {k: dataclasses.replace(t, kernel="pallas_fused")
               for k, t in bodies.items()}
-    eng = MultiBodyEngine(bodies, contacts)
-    path_used = "fused" if eng._fused_multi is not None else (
+    # canonical_layout: z-interface moved off the lane axis — face-slab
+    # fixups stop paying full-field traffic (BASELINE.md round-4 study)
+    eng = MultiBodyEngine(bodies, contacts, canonical_layout=True)
+    path_used = (
+        "fused_canonical" if eng._perm is not None else
+        "fused" if eng._fused_multi is not None else
         "pallas" if eng._raw_stage is not None else "jnp")
     nsrc = len(eng._srcs)
     amp = jnp.full((nsrc,), 1e3, jnp.float32)

@@ -53,7 +53,7 @@ class MultiBodyEngine:
     """
 
     def __init__(self, bodies: Dict[str, Task], contacts: Sequence[ContactSpec],
-                 dtype=jnp.float32, mesh=None):
+                 dtype=jnp.float32, mesh=None, canonical_layout: bool = False):
         names = list(bodies)
         self.tasks = bodies
         self.contacts = tuple(contacts)
@@ -89,6 +89,52 @@ class MultiBodyEngine:
             dts.append(task.time.cfl * min(task.grid.h) / mat.max_cp())
         self.dt = float(min(dts))
         self.nsteps = t0.time.steps_for(self.dt)
+
+        # Canonical permuted layout (round 4, OPT-IN): a contact
+        # interface on the TPU lane axis makes every face-slab fixup
+        # full-field traffic (nz=128 is ONE lane tile — BASELINE.md
+        # round-4 contact study), so when every contact shares one
+        # non-leading axis, the engine stores state with that axis FIRST
+        # and steps with the permuted model (models.spec.permuted_model).
+        # NOTE: the dimensional-splitting order becomes (ca, rest) and its
+        # reverse — an equally valid second-order symmetrized pair, but a
+        # numerically DIFFERENT splitting than the default (x,y,z)/(z,y,x)
+        # — hence opt-in (canonical_layout=True). Verified exact against
+        # the jnp path run with the matching axis order
+        # (tests/test_multibody_fast.py). Inputs/outputs stay in task
+        # layout: state_dict, run results and snapshots unpermute at the
+        # boundary.
+        self._perm = None
+        contact_axes = {c.axis for c in self.contacts}
+        if (canonical_layout
+                and self.kernel == "pallas_fused" and mesh is None
+                and self.model.dim == 3 and len(contact_axes) == 1):
+            ca = next(iter(contact_axes))
+            perm = (ca,) + tuple(d for d in range(3) if d != ca)
+            on_tpu = jax.default_backend() == "tpu"
+            lane_ok = all(
+                (not on_tpu) or t.grid.shape[perm[-1]] % 128 == 0
+                for t in bodies.values())
+            iso = all(isinstance(m, MaterialFields)
+                      for m in self.mats.values())
+            if ca != 0 and lane_ok and iso:
+                self._perm = perm
+                from gcm_tpu.models.spec import permuted_model
+
+                self.model = permuted_model(self.model, perm)
+                up = (0,) + tuple(1 + p for p in perm)
+                self.us = {k: jnp.transpose(v, up)
+                           for k, v in self.us.items()}
+                self.mats = {k: jax.tree.map(
+                                 lambda x: jnp.transpose(x, perm), v)
+                             for k, v in self.mats.items()}
+                self.hs = {k: tuple(h[p] for p in perm)
+                           for k, h in self.hs.items()}
+                self.borders = {
+                    k: {(perm.index(f[0]), f[1]): b for f, b in bd.items()}
+                    for k, bd in self.borders.items()}
+                self.contacts = tuple(
+                    dataclasses.replace(c, axis=0) for c in self.contacts)
 
         if mesh is not None and mesh.devices.size > 1:
             # (1-device meshes keep the state unsharded — see Engine)
@@ -155,11 +201,11 @@ class MultiBodyEngine:
         from gcm_tpu.solver.multi import fused_contacts_ok
 
         on_tpu = jax.default_backend() == "tpu"
-        shapes = {k: t.grid.shape for k, t in bodies.items()}
+        shapes = {k: self._pshape(k) for k in bodies}
         shapes_ok = all(
-            ((not on_tpu) or t.grid.shape[-1] % 128 == 0)
-            and (self.model.dim == 3 or t.grid.shape[0] % 8 == 0)
-            for t in bodies.values())
+            ((not on_tpu) or shapes[k][-1] % 128 == 0)
+            and (self.model.dim == 3 or shapes[k][0] % 8 == 0)
+            for k in bodies)
         if (self.kernel == "pallas_fused" and mesh is None
                 and self.model.dim in (2, 3) and shapes_ok
                 and fused_contacts_ok(self.model, shapes, self.contacts,
@@ -217,7 +263,7 @@ class MultiBodyEngine:
                 elif c.span is not None:
                     self.bonded[ci] = jnp.ones(tuple(c.span), dtype=dtype)
                 else:
-                    shape_a = bodies[c.body_a].grid.shape
+                    shape_a = self._pshape(c.body_a)
                     slab = tuple(s for a, s in enumerate(shape_a)
                                  if a != c.axis)
                     self.bonded[ci] = jnp.ones(slab, dtype=dtype)
@@ -226,7 +272,8 @@ class MultiBodyEngine:
         self._det_idx: Dict[str, np.ndarray] = {}
         for name, task in bodies.items():
             if task.detectors is not None:
-                pts = [task.grid.index_of(p) for p in task.detectors.points]
+                pts = [self._pnode(task.grid.index_of(p))
+                       for p in task.detectors.points]
                 self._det_idx[name] = np.asarray(pts, dtype=np.int32)
 
         # ODE corrector aux state per body (VERDICT r2 missing #2: a
@@ -237,7 +284,7 @@ class MultiBodyEngine:
         for name, task in bodies.items():
             aux: Dict = {}
             for corr in task.correctors:
-                aux.update(corr.init_aux(self.model, task.grid.shape))
+                aux.update(corr.init_aux(self.model, self._pshape(name)))
             self.auxs[name] = aux
 
         # sources (per body) — amplitudes for all steps in one vectorized call
@@ -245,11 +292,47 @@ class MultiBodyEngine:
         times = (np.arange(self.nsteps, dtype=np.float64) + 1.0) * self.dt
         for name, task in bodies.items():
             for src in task.sources:
-                node = task.grid.index_of(src.position)
+                node = self._pnode(task.grid.index_of(src.position))
                 for cname in src.components:
                     amps = src.wavelet(times) * self.dt
                     self._srcs.append((name, node, self.model.comp(cname),
                                        jnp.asarray(amps, dtype=dtype)))
+
+    # ---------------- permuted-layout helpers (identity when _perm is None)
+
+    def _pshape(self, name: str):
+        shape = self.tasks[name].grid.shape
+        if self._perm is None:
+            return shape
+        return tuple(shape[p] for p in self._perm)
+
+    def _pnode(self, node):
+        if self._perm is None:
+            return tuple(node)
+        return tuple(node[p] for p in self._perm)
+
+    def _unpermute_u(self, u):
+        if self._perm is None:
+            return u
+        inv = tuple(self._perm.index(d) for d in range(3))
+        return jnp.transpose(u, (0,) + tuple(1 + p for p in inv))
+
+    def _permute_u(self, u):
+        if self._perm is None:
+            return u
+        return jnp.transpose(u, (0,) + tuple(1 + p for p in self._perm))
+
+    def _unpermute_s(self, x):
+        """Spatial-only arrays (corrector aux fields)."""
+        if self._perm is None:
+            return x
+        inv = tuple(self._perm.index(d) for d in range(3))
+        return jnp.transpose(x, inv)
+
+    def _permute_s(self, x):
+        if self._perm is None:
+            return x
+        return jnp.transpose(x, self._perm)
 
     # ----------------------------------------------------------- checkpoint
 
@@ -257,18 +340,23 @@ class MultiBodyEngine:
         """Restartable state: per-body fields, fracture bond masks,
         corrector aux (e.g. damage), steps completed. Bond masks matter —
         resuming without them would silently heal every crack (VERDICT r1)."""
-        return {"us": self.us,
+        return {"us": {k: self._unpermute_u(v) for k, v in self.us.items()},
                 "bonded": {str(k): v for k, v in self.bonded.items()},
-                "aux": self.auxs,
+                "aux": {k: {ak: self._unpermute_s(av)
+                            for ak, av in a.items()}
+                        for k, a in self.auxs.items()},
                 "step": getattr(self, "_done_step", 0)}
 
     def load_state(self, state: Dict) -> None:
-        self.us = {k: jnp.asarray(v) for k, v in state["us"].items()}
+        self.us = {k: self._permute_u(jnp.asarray(v))
+                   for k, v in state["us"].items()}
         # non-conforming contacts store per-side mask dicts, so tree-map
         self.bonded = {int(k): jax.tree.map(jnp.asarray, v)
                        for k, v in state["bonded"].items()}
         if "aux" in state:
-            self.auxs = jax.tree.map(jnp.asarray, dict(state["aux"]))
+            self.auxs = {k: {ak: self._permute_s(jnp.asarray(av))
+                             for ak, av in a.items()}
+                         for k, a in dict(state["aux"]).items()}
         self.start_step = int(np.asarray(state["step"]))
         # odd (period-misaligned) checkpoints are fine: run() realigns with
         # single forward steps, like every other engine (VERDICT r3 weak #6)
@@ -404,7 +492,8 @@ class MultiBodyEngine:
             self._done_step = start + nhead + done
             if snapshot_cb is not None:
                 snapshot_cb(start + nhead + done,
-                            {k: np.asarray(jax.device_get(v))
+                            {k: np.asarray(jax.device_get(
+                                 self._unpermute_u(v)))
                              for k, v in us.items()})
         tail_traces = []
         for n in range(start + nhead + nfull, nsteps):
@@ -431,7 +520,8 @@ class MultiBodyEngine:
                     tr = np.concatenate(head + [tr] + tail, axis=0)
                 trace_out[k] = tr
         return MultiRunResult(
-            bodies={k: np.asarray(jax.device_get(v)) for k, v in us.items()},
+            bodies={k: np.asarray(jax.device_get(self._unpermute_u(v)))
+                    for k, v in us.items()},
             bonded={k: jax.tree.map(lambda a: np.asarray(jax.device_get(a)), v)
                     for k, v in bonded.items()},
             t=nsteps * self.dt,
@@ -450,7 +540,7 @@ class MultiBodyEngine:
 
         os.makedirs(outdir, exist_ok=True)
         for name, task in self.tasks.items():
-            u = np.asarray(jax.device_get(self.us[name]))
+            u = np.asarray(jax.device_get(self._unpermute_u(self.us[name])))
             write_vti(
                 os.path.join(outdir, f"{name}_{tag}.vti"),
                 task.grid.shape, task.grid.h, task.grid.origin,

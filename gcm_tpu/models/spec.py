@@ -143,3 +143,23 @@ _REGISTRY = {
 
 def get_model(name: str) -> Model:
     return _REGISTRY[name]
+
+
+def permuted_model(model: Model, perm: Tuple[int, ...]) -> Model:
+    """Model for state arrays stored with spatial dims permuted by ``perm``
+    (array dim d holds physical axis perm[d]): the stage LIST is reordered
+    so sweeping ARRAY axis d applies physical axis perm[d]'s
+    characteristic structure. Component ordering and every StageSpec
+    (including its physical ``axis`` field, which border-value lookups
+    use) are unchanged.
+
+    This is the engine-internal canonical layout for contact-coupled
+    multi-body runs: a contact interface on the TPU lane axis pays
+    full-field traffic for every face-slab fixup (BASELINE.md round-4
+    contact study), so the engine moves the contact axis to array dim 0
+    and steps with the permuted model.
+    """
+    if sorted(perm) != list(range(model.dim)):
+        raise ValueError(f"perm {perm} is not a permutation of axes")
+    stages = tuple(model.stages[perm[d]] for d in range(model.dim))
+    return dataclasses.replace(model, stages=stages)

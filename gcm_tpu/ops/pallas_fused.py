@@ -452,7 +452,9 @@ def _sweep_window(
                 bc = borders.get((axis, side))
                 if bc is None:
                     continue
-                val = bc.pair_value(p.traction_axis, axis)
+                # st.axis = PHYSICAL axis (== axis except for
+                # permuted-layout models, models/spec.permuted_model)
+                val = bc.pair_value(p.traction_axis, st.axis)
                 mask = _row_mask(w_l.shape, d,
                                  lo=bc_off + 1 if side == 0 else None,
                                  hi=n_out - 1 - bc_off if side == 1 else None)

@@ -218,7 +218,7 @@ def _make_sweep_kernel(model: Model, axis: int, order: int, sign: int,
                 for side in (0, 1):
                     bc = borders.get((axis, side))
                     if bc is not None:
-                        val = bc.pair_value(p.traction_axis, axis)
+                        val = bc.pair_value(p.traction_axis, st.axis)
                         w_l, w_r = _apply_bc_row(
                             w_l, w_r, z, sign, bc, val, d, side,
                             is_first if side == 0 else is_last, cx,

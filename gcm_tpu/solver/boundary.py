@@ -79,7 +79,7 @@ def apply_borders_post(
             szb = sign * z_b
             w_l = A_b + szb * B_b
             w_r = A_b - szb * B_b
-            val = bc.pair_value(p.traction_axis, axis)
+            val = bc.pair_value(p.traction_axis, st.axis)
             if side == 0:
                 out = w_l
                 if bc.kind == "absorbing":

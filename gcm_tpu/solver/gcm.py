@@ -72,7 +72,7 @@ def stage(
             for side in (0, 1):
                 bc = borders.get((axis, side))
                 if bc is not None:
-                    val = bc.pair_value(p.traction_axis, axis)
+                    val = bc.pair_value(p.traction_axis, st.axis)
                     w_l, w_r = correct_pair_at_face(
                         w_l, w_r, z, model.sign, bc, ax, side, val
                     )

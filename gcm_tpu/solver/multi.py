@@ -84,7 +84,7 @@ def stage_multi(
                     continue
                 bc = borders.get(name, {}).get((axis, side))
                 if bc is not None:
-                    val = bc.pair_value(p.traction_axis, axis)
+                    val = bc.pair_value(p.traction_axis, st.axis)
                     w_l, w_r = correct_pair_at_face(
                         w_l, w_r, z, model.sign, bc, axis, side, val
                     )

@@ -308,3 +308,81 @@ def test_multibody_engine_fused_matches_jnp(monkeypatch):
         assert np.abs(res.bodies[k] - res_ref.bodies[k]).max() / scale < 2e-5
     for ci in res.bonded:
         np.testing.assert_array_equal(res.bonded[ci], res_ref.bonded[ci])
+
+
+def test_canonical_layout_matches_matched_order_reference(monkeypatch):
+    """MultiBodyEngine(canonical_layout=True) stores state with the
+    contact axis FIRST (the z-interface otherwise pays full-field lane
+    traffic in every fixup) and steps with the permuted model; it must be
+    exact against the jnp step_multi run with the matching physical axis
+    order (z,x,y)/(y,x,z)."""
+    import gcm_tpu.ops.pallas_fused as pf
+    from gcm_tpu.solver.multi import step_multi as sm
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    bodies, contacts = elastic3d_contact(n=12, nsteps=4)
+    bodies_f = {k: dataclasses.replace(t, kernel="pallas_fused")
+                for k, t in bodies.items()}
+    eng = MultiBodyEngine(bodies_f, contacts, canonical_layout=True)
+    assert eng._perm == (2, 0, 1)
+    res = eng.run()
+
+    ref = MultiBodyEngine(bodies, contacts)      # jnp engine for setup
+    us, bonded = dict(ref.us), dict(ref.bonded)
+    for n in range(ref.nsteps):
+        axes = (2, 0, 1) if n % 2 == 0 else (1, 0, 2)
+        us, bonded = sm(ref.model, us, ref.mats, ref.dt, ref.hs, ref.order,
+                        ref.borders, ref.contacts, bonded, axes, ref.ncmaps)
+        for name, node, comp, amps in ref._srcs:
+            us = dict(us)
+            us[name] = us[name].at[(comp,) + node].add(amps[n])
+    for k in res.bodies:
+        w = np.asarray(us[k])
+        scale = np.abs(w).max() + 1e-30
+        assert np.abs(res.bodies[k] - w).max() / scale < 2e-5
+    for ci in res.bonded:
+        np.testing.assert_array_equal(res.bonded[ci],
+                                      np.asarray(bonded[ci]))
+
+
+def test_canonical_layout_resume_and_outputs(tmp_path, monkeypatch):
+    """Checkpoints and run outputs of a canonical-layout run stay in the
+    TASK layout: resume into a non-canonical engine reproduces physics of
+    the same splitting order; state_dict round-trips through the boundary
+    unpermutation."""
+    import gcm_tpu.ops.pallas_fused as pf
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+    from gcm_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    bodies, contacts = elastic3d_contact(n=12, nsteps=6)
+    bodies_f = {k: dataclasses.replace(t, kernel="pallas_fused")
+                for k, t in bodies.items()}
+
+    full = MultiBodyEngine(bodies_f, contacts, canonical_layout=True)
+    rfull = full.run()
+
+    part = MultiBodyEngine(bodies_f, contacts, canonical_layout=True)
+    part.nsteps = 4
+    part.run()
+    save_checkpoint(str(tmp_path / "ck"), 4, part.state_dict())
+    resumed = MultiBodyEngine(bodies_f, contacts, canonical_layout=True)
+    resumed.load_state(
+        restore_checkpoint(str(tmp_path / "ck"), resumed.state_dict()))
+    rres = resumed.run()
+    for k in rfull.bodies:
+        scale = np.abs(rfull.bodies[k]).max() + 1e-30
+        assert np.abs(rres.bodies[k] - rfull.bodies[k]).max() / scale < 1e-5

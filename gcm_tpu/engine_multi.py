@@ -233,6 +233,18 @@ class MultiBodyEngine:
                     f: b for f, b in self.borders[name].items()
                     if (name,) + f not in full_faces}
             ffn = fused_step if self.model.dim == 3 else fused_step_2d
+            if self._perm is not None:
+                # permuted bodies put a 256-lane dim under the windowed
+                # kernel's r-row y-halo DMAs, which crashes the Mosaic
+                # compile on hardware; the slab kernel's contiguous
+                # x-segments handle any lane extent (~10% off the windowed
+                # rate — BASELINE.md r2 slab study)
+                from gcm_tpu.ops.pallas_fused import fused_step_slab
+
+                def ffn(model, u, ms, dt, hs, order, bcs, axes, bx=4,
+                        by=None):
+                    return fused_step_slab(model, u, ms, dt, hs, order,
+                                           bcs, axes, bx=4)
             #: fused-kernel tile size, read dynamically: smaller tiles cost
             #: ~10% throughput but shrink the Mosaic payload ~4x (relevant
             #: where a compile service caps program size, BASELINE.md r4)

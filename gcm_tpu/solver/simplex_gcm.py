@@ -133,25 +133,34 @@ def simplex_stage(
                     lst.append(c)
     interp: Dict[Tuple, Dict[int, jnp.ndarray]] = {}
     gather_by_k: Dict[int, list] = {}
+    stencil_keys = []
     for key, clist in table_comps.items():
         t = tables[key]
         if getattr(t, "stencil", None) is not None:
-            # compressed-stencil form (grids.simplex.compress_foot_tables):
-            # the gather regroups by index delta into |D| weighted rolls —
-            # no TPU gathers (measured ~1e9 gathered-rows/s is the gather
-            # path's ceiling on this part; rolls are plain vector ops).
-            # Out-of-range rolled rows wrap circularly, but their weight
-            # is structurally zero.  Comp-major throughout: no transposes.
-            deltas, wst = t.stencil
-            usel = u[jnp.asarray(clist)]                 # [m, N]
-            wj = jnp.asarray(wst, dtype=u.dtype)         # [nd, N]
-            acc = None
-            for i, d in enumerate(deltas):
-                term = wj[i] * jnp.roll(usel, -int(d), axis=1)
-                acc = term if acc is None else acc + term
-            interp[key] = {c: acc[j] for j, c in enumerate(clist)}
+            stencil_keys.append(key)
         else:
             gather_by_k.setdefault(int(t.ids.shape[1]), []).append(key)
+    for key in stencil_keys:
+        # compressed-stencil form (grids.simplex.compress_foot_tables):
+        # the gather regroups by index delta into |D| weighted rolls of
+        # the table's OWN component rows — no TPU gathers (measured ~1e9
+        # gathered-rows/s is the gather path's ceiling on this part;
+        # rolls are plain vector ops).  Out-of-range rolled rows wrap
+        # circularly, but their weight is structurally zero.  Comp-major
+        # throughout: no transposes.  (Sharing rolls of the FULL u across
+        # the stage's tables — half the roll ops — was measured 34% SLOWER
+        # at the 65^3 production mesh: the 9-comp rolled volume outweighs
+        # the op-count saving.  Per-table narrow rolls stay.)
+        t = tables[key]
+        clist = table_comps[key]
+        deltas, wst = t.stencil
+        usel = u[jnp.asarray(clist)]                 # [m, N]
+        wj = jnp.asarray(wst, dtype=u.dtype)         # [nd, N]
+        acc = None
+        for i, d in enumerate(deltas):
+            term = wj[i] * jnp.roll(usel, -int(d), axis=1)
+            acc = term if acc is None else acc + term
+        interp[key] = {c: acc[j] for j, c in enumerate(clist)}
     if gather_by_k:
         # fallback for non-compressible tables: ONE merged node-major
         # row-gather per stencil width — fetch width is free (per-index

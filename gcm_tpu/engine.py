@@ -90,6 +90,35 @@ class Engine:
         apply_initial(u0, self.model, task.grid, task.initial)
         self.u = jnp.asarray(u0, dtype=dtype)
 
+        # Canonical permuted layout (opt-in, Task.canonical_layout): store
+        # state so the LAST (lane) dim is 128-aligned, unlocking the fused
+        # kernel for task shapes it otherwise rejects (e.g. nz=64).
+        # Physics follows storage — the splitting order becomes the
+        # permuted axis sequence and its reverse, an equally valid
+        # symmetrized pair (mirrors MultiBodyEngine's canonical mode).
+        # All inputs/outputs stay in task layout.
+        self._perm = None
+        self._h = task.grid.h
+        self._borders = dict(task.borders)
+        if (getattr(task, "canonical_layout", False) and mesh is None
+                and sharding is None and self.model.dim == 3):
+            shape = task.grid.shape
+            aligned = [j for j in range(3) if shape[j] % 128 == 0]
+            if shape[-1] % 128 != 0 and aligned:
+                j = aligned[-1]
+                perm = tuple(d for d in range(3) if d != j) + (j,)
+                self._perm = perm
+                from gcm_tpu.models.spec import permuted_model
+
+                self.model = permuted_model(self.model, perm)
+                self.u = jnp.transpose(self.u,
+                                       (0,) + tuple(1 + p for p in perm))
+                self.mat = jax.tree.map(
+                    lambda x: jnp.transpose(x, perm), self.mat)
+                self._h = tuple(task.grid.h[p] for p in perm)
+                self._borders = {(perm.index(f[0]), f[1]): b
+                                 for f, b in task.borders.items()}
+
         self.mesh = mesh
         self._spmd_step = None      # shard_map step fn (mesh path)
         self._mext = None           # extended material stack (fused spmd)
@@ -170,7 +199,8 @@ class Engine:
         self._mstack = None
         self._fused_fn = None
         on_tpu = jax.default_backend() == "tpu"
-        lane_ok = (not on_tpu) or task.grid.shape[-1] % 128 == 0
+        pshape = self._pshape()
+        lane_ok = (not on_tpu) or pshape[-1] % 128 == 0
         if (mesh is None and self.kernel == "pallas_fused"
                 and self.model.dim in (2, 3)
                 # Mosaic constraints on hardware: the lane (last) dim of
@@ -178,7 +208,7 @@ class Engine:
                 # and the 2D kernel needs 8-aligned x slices; other shapes
                 # fall through to the per-sweep pallas path (any shape)
                 and lane_ok
-                and (self.model.dim == 3 or task.grid.shape[0] % 8 == 0)):
+                and (self.model.dim == 3 or pshape[0] % 8 == 0)):
             from gcm_tpu.ops.pallas_fused import (
                 fused_step, fused_step_2d, stack_mats, stack_mats_ortho)
 
@@ -192,6 +222,17 @@ class Engine:
                 self._mstack = self._mstack.astype(jnp.bfloat16)
             self._fused_fn = fused_step if self.model.dim == 3 \
                 else fused_step_2d
+            if self._perm is not None:
+                from gcm_tpu.ops.pallas_fused import fused_step_slab
+
+                def _slab_fn(model, u, ms, dt, hs, order, bcs, axes,
+                             **kw):
+                    kw.pop("bx", None)
+                    kw.pop("by", None)
+                    return fused_step_slab(model, u, ms, dt, hs, order,
+                                           bcs, axes, bx=4, **kw)
+
+                self._fused_fn = _slab_fn
 
         # fold the ODE correctors into the fused kernel's output-tile
         # epilogue (VERDICT r3 item 8): a viscoelastic/damage step then
@@ -202,7 +243,8 @@ class Engine:
         # (sources are injected AFTER the step but BEFORE correctors in
         # the per-step semantics, so folding is only exact source-free)
         if (self._mstack is not None and task.correctors
-                and not task.sources and task.mat_dtype != "bf16"):
+                and not task.sources and task.mat_dtype != "bf16"
+                and self._perm is None):   # slab shim can't fold
             from gcm_tpu.ops.pallas_fused import fold_corrector_specs
 
             specs, naux = fold_corrector_specs(task.correctors, self.dt)
@@ -219,7 +261,7 @@ class Engine:
         amps = []
         times = (np.arange(self.nsteps, dtype=np.float64) + 1.0) * self.dt
         for src in task.sources:
-            node = task.grid.index_of(src.position)
+            node = self._pnode(task.grid.index_of(src.position))
             for cname in src.components:
                 self._src_idx.append((node, self.model.comp(cname)))
                 amps.append(src.wavelet(times) * self.dt)
@@ -231,13 +273,14 @@ class Engine:
         # detector gather indices
         self._det_idx: Optional[np.ndarray] = None
         if task.detectors is not None:
-            pts = [task.grid.index_of(p) for p in task.detectors.points]
+            pts = [self._pnode(task.grid.index_of(p))
+                   for p in task.detectors.points]
             self._det_idx = np.asarray(pts, dtype=np.int32)  # [np, dim]
 
         # corrector aux state (e.g. damage fields) — part of the checkpoint
         self.aux: Dict = {}
         for corr in task.correctors:
-            self.aux.update(corr.init_aux(self.model, task.grid.shape))
+            self.aux.update(corr.init_aux(self.model, self._pshape()))
         #: first step index run() will execute (set by load_state on resume)
         self.start_step: int = 0
         self._done_step: int = 0
@@ -247,16 +290,56 @@ class Engine:
     # ----------------------------------------------------------- checkpoint
 
     def state_dict(self) -> Dict:
-        """Full restartable state: fields, corrector aux, completed steps."""
-        return {"u": self.u, "aux": self.aux, "step": self._done_step}
+        """Full restartable state: fields, corrector aux, completed steps
+        (always in TASK layout, independent of canonical storage)."""
+        return {"u": self._unpermute_u(self.u),
+                "aux": {k: self._unpermute_s(v)
+                        for k, v in self.aux.items()},
+                "step": self._done_step}
 
     def load_state(self, state: Dict) -> None:
         """Restore a ``state_dict`` checkpoint; ``run()`` then executes only
         the remaining ``nsteps - step`` steps (resume == uninterrupted,
         tests/test_io.py)."""
-        self.u = jnp.asarray(state["u"], dtype=self.dtype)
-        self.aux = jax.tree.map(jnp.asarray, state["aux"])
+        self.u = self._permute_u(jnp.asarray(state["u"], dtype=self.dtype))
+        self.aux = {k: self._permute_s(jnp.asarray(v))
+                    for k, v in dict(state["aux"]).items()}
         self.start_step = self._done_step = int(np.asarray(state["step"]))
+
+    # -------------------------------------------------- layout helpers
+
+    def _pshape(self):
+        shape = self.task.grid.shape
+        if self._perm is None:
+            return shape
+        return tuple(shape[p] for p in self._perm)
+
+    def _pnode(self, node):
+        if self._perm is None:
+            return tuple(node)
+        return tuple(node[p] for p in self._perm)
+
+    def _unpermute_u(self, u):
+        if self._perm is None:
+            return u
+        inv = tuple(self._perm.index(d) for d in range(3))
+        return jnp.transpose(u, (0,) + tuple(1 + p for p in inv))
+
+    def _permute_u(self, u):
+        if self._perm is None:
+            return u
+        return jnp.transpose(u, (0,) + tuple(1 + p for p in self._perm))
+
+    def _unpermute_s(self, x):
+        if self._perm is None:
+            return x
+        inv = tuple(self._perm.index(d) for d in range(3))
+        return jnp.transpose(x, inv)
+
+    def _permute_s(self, x):
+        if self._perm is None:
+            return x
+        return jnp.transpose(x, self._perm)
 
     # ------------------------------------------------------------------ step
 
@@ -286,34 +369,34 @@ class Engine:
                 if self._fold_naux:
                     astack = jnp.stack([aux["damage"]])
                     u, astack = self._fused_fn(
-                        model, u, mstack, self.dt, task.grid.h,
-                        task.order, task.borders, axes,
+                        model, u, mstack, self.dt, self._h,
+                        task.order, self._borders, axes,
                         correctors=self._fold_specs, aux=astack,
                     )
                     aux = dict(aux)
                     aux["damage"] = astack[0]
                 else:
                     u = self._fused_fn(
-                        model, u, mstack, self.dt, task.grid.h,
-                        task.order, task.borders, axes,
+                        model, u, mstack, self.dt, self._h,
+                        task.order, self._borders, axes,
                         correctors=self._fold_specs,
                     )
                 return u, aux   # correctors already applied in-kernel
             u = self._fused_fn(
-                model, u, mstack, self.dt, task.grid.h, task.order,
-                task.borders, axes,
+                model, u, mstack, self.dt, self._h, task.order,
+                self._borders, axes,
             )
         elif self.kernel in ("pallas", "pallas_fused") and model.dim in (2, 3):
             from gcm_tpu.ops.pallas_stage import pallas_step
 
             u = pallas_step(
-                model, u, params["mat"], self.dt, task.grid.h, task.order,
-                task.borders, axes, cx=32,
+                model, u, params["mat"], self.dt, self._h, task.order,
+                self._borders, axes, cx=32,
             )
         else:
             u = solver_step(
-                model, u, params["mat"], self.dt, task.grid.h, task.order,
-                task.borders, axes,
+                model, u, params["mat"], self.dt, self._h, task.order,
+                self._borders, axes,
             )
         for k, (node, comp) in enumerate(self._src_idx):
             u = u.at[(comp,) + node].add(src_amp[k])
@@ -353,8 +436,8 @@ class Engine:
             def body(carry, x, params):
                 u, aux = carry
                 u = self._fused_fn(
-                    model, u, params["mstack"], self.dt, task.grid.h,
-                    task.order, task.borders,
+                    model, u, params["mstack"], self.dt, self._h,
+                    task.order, self._borders,
                     axes_seq=(fwd, fwd[::-1]),
                 )
                 return (u, aux), jnp.zeros((period, 0, model.ncomp),
@@ -423,7 +506,8 @@ class Engine:
             # keep current for checkpointing callbacks
             self.u, self.aux, self._done_step = u, aux, done
             if snapshot_cb is not None:
-                snapshot_cb(done, np.asarray(jax.device_get(u)))
+                snapshot_cb(done, np.asarray(jax.device_get(
+                    self._unpermute_u(u))))
         # tail steps that don't fill a full symmetrization period
         while done < nsteps:
             single(done)
@@ -443,7 +527,7 @@ class Engine:
         self._last_traces = trace_arr
         self.u = u
         return RunResult(
-            u=np.asarray(jax.device_get(u)),
+            u=np.asarray(jax.device_get(self._unpermute_u(u))),
             t=nsteps * self.dt,
             nsteps=nsteps,
             dt=self.dt,

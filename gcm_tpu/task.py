@@ -450,6 +450,14 @@ class Task:
     #: kernel's DMA saving is cancelled by its halo recompute (~3% slower
     #: there; ~10% faster when HBM is the constraint — BASELINE.md r4).
     temporal_block: bool = False
+    #: store state in a permuted (canonical) layout chosen so the LAST
+    #: (TPU lane) dimension is 128-aligned, unlocking the fused kernel for
+    #: shapes it otherwise rejects (e.g. 256x256x64 -> stored 256x64x256).
+    #: Opt-in because the dimensional-splitting axis order follows storage
+    #: (an equally valid symmetrized pair, but numerically a different
+    #: splitting than the default x,y,z/z,y,x). Inputs and every output
+    #: (results, snapshots, checkpoints, detectors) stay in task layout.
+    canonical_layout: bool = False
 
     def __post_init__(self):
         # validate free-form string knobs up front — a typo like "bf16 "

@@ -104,3 +104,77 @@ def test_engine_temporal_pair_path(monkeypatch):
         kernel="pallas_fused", temporal_block=True))
     eng_det._build_scan()
     assert not eng_det._pair_fused
+
+
+def test_engine_canonical_layout_unlocks_fused(monkeypatch):
+    """Task.canonical_layout on a lane-misaligned shape (nz=48) stores the
+    state permuted so the 128-aligned axis is last, unlocking the fused
+    kernel; results must match the jnp semantics of record run with the
+    matching physical splitting order, in TASK layout."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gcm_tpu.ops.pallas_fused as pf
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.gcm import step as jnp_step
+    from gcm_tpu.task import (
+        AreaBall, BorderSpec, DetectorSpec, GridSpec, InitialCondition,
+        Task, TimeSpec,
+    )
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    mat = IsotropicMaterial.from_speeds(rho=2000.0, cp=3000.0, cs=1500.0)
+    shape = (128, 12, 10)     # lane dim 10: fused-ineligible in task layout
+    task = Task(
+        name="canon", model="elastic3d",
+        grid=GridSpec(shape, (10.0, 10.0, 10.0)),
+        default_material=mat,
+        initial=(InitialCondition(
+            AreaBall(center=(640.0, 60.0, 50.0), radius=40.0),
+            {"sxx": 1e6, "syy": 1e6, "szz": 1e6}),),
+        borders={**{(a, s): BorderSpec("absorbing")
+                    for a in range(3) for s in (0, 1)},
+                 (2, 0): BorderSpec("free")},
+        detectors=DetectorSpec(points=((320.0, 60.0, 50.0),)),
+        time=TimeSpec(cfl=0.7, nsteps=4), order=2,
+        kernel="pallas_fused", canonical_layout=True,
+    )
+    eng = Engine(task)
+    assert eng._perm == (1, 2, 0), eng._perm
+    res = eng.run()
+
+    # reference: jnp path in task layout with the matching physical order
+    ref = Engine(dataclasses.replace(task, kernel="jnp",
+                                     canonical_layout=False))
+    u = ref.u
+    for n in range(task.time.nsteps):
+        axes = (1, 2, 0) if n % 2 == 0 else (0, 2, 1)
+        u = jnp_step(ref.model, u, ref.mat, ref.dt, task.grid.h, 2,
+                     dict(task.borders), axes)
+    want = np.asarray(u)
+    scale = np.abs(want).reshape(9, -1).max(1) + 1e-30
+    err = np.abs(res.u - want).reshape(9, -1).max(1) / scale
+    assert err.max() < 1e-5, err
+    assert res.traces.shape[0] == task.time.nsteps
+
+    # checkpoint boundary stays in task layout + resume == uninterrupted
+    sd = eng.state_dict()
+    assert sd["u"].shape == (9,) + shape
+    part = Engine(task)
+    part.nsteps = 2
+    part.run()
+    resumed = Engine(task)
+    resumed.load_state(part.state_dict())
+    rres = resumed.run()
+    err2 = np.abs(rres.u - res.u).reshape(9, -1).max(1) / scale
+    assert err2.max() < 1e-5, err2

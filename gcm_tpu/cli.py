@@ -42,6 +42,11 @@ def _build_parser():
                    help="distribute over a device mesh of this shape "
                         "(shard_map fused kernel when the task qualifies, "
                         "per-sweep pallas/GSPMD otherwise)")
+    r.add_argument("--canonical-layout", action="store_true",
+                   help="store state in a permuted layout with a "
+                        "128-aligned lane dim, unlocking the fused kernel "
+                        "for otherwise-ineligible shapes (changes the "
+                        "splitting axis order; see Task.canonical_layout)")
 
     sub.add_parser("list", help="list available scenarios")
 
@@ -99,6 +104,8 @@ def main(argv=None) -> int:
         )
     if args.kernel is not None:
         task = dataclasses.replace(task, kernel=args.kernel)
+    if args.canonical_layout:
+        task = dataclasses.replace(task, canonical_layout=True)
 
     import os
 

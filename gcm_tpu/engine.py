@@ -101,12 +101,16 @@ class Engine:
         self._h = task.grid.h
         self._borders = dict(task.borders)
         if (getattr(task, "canonical_layout", False) and mesh is None
-                and sharding is None and self.model.dim == 3):
+                and sharding is None and self.model.dim in (2, 3)):
+            dim = self.model.dim
             shape = task.grid.shape
-            aligned = [j for j in range(3) if shape[j] % 128 == 0]
+            aligned = [j for j in range(dim) if shape[j] % 128 == 0]
+            perm = None
             if shape[-1] % 128 != 0 and aligned:
                 j = aligned[-1]
-                perm = tuple(d for d in range(3) if d != j) + (j,)
+                perm = tuple(d for d in range(dim) if d != j) + (j,)
+            if perm is not None and (dim == 3
+                                     or shape[perm[0]] % 8 == 0):
                 self._perm = perm
                 from gcm_tpu.models.spec import permuted_model
 
@@ -222,7 +226,7 @@ class Engine:
                 self._mstack = self._mstack.astype(jnp.bfloat16)
             self._fused_fn = fused_step if self.model.dim == 3 \
                 else fused_step_2d
-            if self._perm is not None:
+            if self._perm is not None and self.model.dim == 3:
                 from gcm_tpu.ops.pallas_fused import fused_step_slab
 
                 def _slab_fn(model, u, ms, dt, hs, order, bcs, axes,
@@ -322,7 +326,7 @@ class Engine:
     def _unpermute_u(self, u):
         if self._perm is None:
             return u
-        inv = tuple(self._perm.index(d) for d in range(3))
+        inv = tuple(self._perm.index(d) for d in range(len(self._perm)))
         return jnp.transpose(u, (0,) + tuple(1 + p for p in inv))
 
     def _permute_u(self, u):
@@ -333,7 +337,7 @@ class Engine:
     def _unpermute_s(self, x):
         if self._perm is None:
             return x
-        inv = tuple(self._perm.index(d) for d in range(3))
+        inv = tuple(self._perm.index(d) for d in range(len(self._perm)))
         return jnp.transpose(x, inv)
 
     def _permute_s(self, x):

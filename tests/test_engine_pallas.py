@@ -178,3 +178,57 @@ def test_engine_canonical_layout_unlocks_fused(monkeypatch):
     rres = resumed.run()
     err2 = np.abs(rres.u - res.u).reshape(9, -1).max(1) / scale
     assert err2.max() < 1e-5, err2
+
+
+def test_engine_canonical_layout_2d(monkeypatch):
+    """2D canonical layout: a (256, 40) task (lane-misaligned) stores as
+    (40, 256) and runs the fused 2D kernel; matches the jnp path with the
+    matching (1,0)/(0,1) physical order."""
+    import dataclasses
+
+    import numpy as np
+
+    import gcm_tpu.ops.pallas_fused as pf
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.gcm import step as jnp_step
+    from gcm_tpu.task import (
+        AreaBall, BorderSpec, GridSpec, InitialCondition, Task, TimeSpec,
+    )
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    mat = IsotropicMaterial.from_speeds(rho=2000.0, cp=3000.0, cs=1500.0)
+    task = Task(
+        name="canon2d", model="elastic2d",
+        grid=GridSpec((256, 40), (10.0, 10.0)),
+        default_material=mat,
+        initial=(InitialCondition(
+            AreaBall(center=(1280.0, 200.0), radius=60.0),
+            {"sxx": 1e6, "syy": 1e6}),),
+        borders={(a, s): BorderSpec("absorbing")
+                 for a in range(2) for s in (0, 1)},
+        time=TimeSpec(cfl=0.7, nsteps=4), order=2,
+        kernel="pallas_fused", canonical_layout=True,
+    )
+    eng = Engine(task)
+    assert eng._perm == (1, 0)
+    res = eng.run()
+
+    ref = Engine(dataclasses.replace(task, kernel="jnp",
+                                     canonical_layout=False))
+    u = ref.u
+    for n in range(task.time.nsteps):
+        axes = (1, 0) if n % 2 == 0 else (0, 1)
+        u = jnp_step(ref.model, u, ref.mat, ref.dt, task.grid.h, 2,
+                     dict(task.borders), axes)
+    want = np.asarray(u)
+    scale = np.abs(want).reshape(5, -1).max(1) + 1e-30
+    err = np.abs(res.u - want).reshape(5, -1).max(1) / scale
+    assert err.max() < 1e-5, err

@@ -174,7 +174,13 @@ def _run_contact(args, kw) -> int:
     from gcm_tpu.engine_multi import MultiBodyEngine
 
     bodies, contacts = _multi_scenarios()[args.scenario](**kw)
-    eng = MultiBodyEngine(bodies, contacts)
+    if args.kernel is not None:
+        import dataclasses as _dc
+
+        bodies = {k: _dc.replace(t, kernel=args.kernel)
+                  for k, t in bodies.items()}
+    eng = MultiBodyEngine(bodies, contacts,
+                          canonical_layout=args.canonical_layout)
     cb = None
     if args.snapshot_every:
         import os

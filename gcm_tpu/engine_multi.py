@@ -206,7 +206,42 @@ class MultiBodyEngine:
             ((not on_tpu) or shapes[k][-1] % 128 == 0)
             and (self.model.dim == 3 or shapes[k][0] % 8 == 0)
             for k in bodies)
-        if (self.kernel == "pallas_fused" and mesh is None
+        # SHARDED fused composition (VERDICT r3 item 2, multi-chip form):
+        # each body runs the fused spmd step (interior/ring shard_map
+        # kernels, overlapped halo slabs) and the contact fixups stay pure
+        # jnp — GSPMD partitions them — provided every contact axis is
+        # UNSHARDED (the lane axis 2 always is; 'sx'/'sy' shard 0/1).
+        if (self.kernel == "pallas_fused" and mesh is not None
+                and self.model.dim == 3 and shapes_ok
+                and all(c.axis == 2 for c in self.contacts)
+                and fused_contacts_ok(self.model, shapes, self.contacts,
+                                      self.order, getattr(self, "ncmaps",
+                                                          None))):
+            from gcm_tpu.parallel.fused_spmd import (
+                extended_mstack, make_fused_spmd_step)
+
+            full_faces = set()
+            for c in self.contacts:
+                if c.span is None:
+                    full_faces.add((c.body_a, c.axis, 1))
+                    full_faces.add((c.body_b, c.axis, 0))
+            self._mstacks = {
+                name: extended_mstack(self.model, self.mats[name], mesh,
+                                      self.order, dtype=dtype)
+                for name in bodies}
+            spmd_steps = {
+                name: make_fused_spmd_step(
+                    self.model, mesh, self.dt, self.hs[name], self.order,
+                    {f: b for f, b in self.borders[name].items()
+                     if (name,) + f not in full_faces})
+                for name, task in bodies.items()}
+
+            def _fused_body_spmd(name, u, axes, mext=None):
+                me = mext if mext is not None else self._mstacks[name]
+                return spmd_steps[name](u, me, axes)
+
+            self._fused_multi = _fused_body_spmd
+        elif (self.kernel == "pallas_fused" and mesh is None
                 and self.model.dim in (2, 3) and shapes_ok
                 and fused_contacts_ok(self.model, shapes, self.contacts,
                                       self.order, getattr(self, "ncmaps",

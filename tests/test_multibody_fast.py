@@ -386,3 +386,36 @@ def test_canonical_layout_resume_and_outputs(tmp_path, monkeypatch):
     for k in rfull.bodies:
         scale = np.abs(rfull.bodies[k]).max() + 1e-30
         assert np.abs(rres.bodies[k] - rfull.bodies[k]).max() / scale < 1e-5
+
+
+def test_multibody_engine_sharded_fused_matches_unsharded(monkeypatch):
+    """Sharded multi-body on the FUSED composition (fused spmd step per
+    body + GSPMD contact fixups) == unsharded jnp engine — the multi-chip
+    form of VERDICT r3 item 2 (contact axis is the unsharded lane axis)."""
+    import gcm_tpu.ops.pallas_fused as pfu
+    import gcm_tpu.parallel.fused_spmd as pfs
+
+    for mod in (pfu, pfs):
+        orig = mod.pl.pallas_call
+
+        def wrapped(*a, _orig=orig, **k):
+            k.setdefault("interpret", True)
+            return _orig(*a, **k)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", wrapped)
+
+    from gcm_tpu.parallel.sharding import domain_mesh
+
+    bodies, contacts = elastic3d_contact(n=16, nsteps=6)
+    res_ref = MultiBodyEngine(bodies, contacts).run()
+    bodies_f = {k: dataclasses.replace(t, kernel="pallas_fused")
+                for k, t in bodies.items()}
+    mesh = domain_mesh(3, devices=jax.devices("cpu")[:8], shape=(4, 2))
+    eng = MultiBodyEngine(bodies_f, contacts, mesh=mesh)
+    assert eng._fused_multi is not None, "sharded fused composition missing"
+    res = eng.run()
+    for k in res.bodies:
+        scale = np.abs(res_ref.bodies[k]).max() + 1e-30
+        assert np.abs(res.bodies[k] - res_ref.bodies[k]).max() / scale < 2e-5
+    for ci in res.bonded:
+        np.testing.assert_array_equal(res.bonded[ci], res_ref.bonded[ci])

@@ -126,6 +126,8 @@ class Engine:
         self.mesh = mesh
         self._spmd_step = None      # shard_map step fn (mesh path)
         self._mext = None           # extended material stack (fused spmd)
+        self._spmd_fold_specs = None
+        self._spmd_fold_naux = 0
         if mesh is not None and sharding is not None:
             raise ValueError("pass either mesh= or sharding=, not both")
         if mesh is not None:
@@ -154,9 +156,22 @@ class Engine:
                 # the slab kernel instead (ops.pallas_fused.fused_step)
                 self._mext = extended_mstack(
                     self.model, self.mat, mesh, task.order, dtype=dtype)
+                # fold ODE correctors into the spmd kernels' epilogues
+                # (sharded viscoelastic/damage steps stay one local HBM
+                # pass — the multi-chip form of VERDICT r3 item 8)
+                spmd_fold = None
+                if task.correctors and not task.sources:
+                    from gcm_tpu.ops.pallas_fused import (
+                        fold_corrector_specs)
+
+                    sp, na = fold_corrector_specs(task.correctors, self.dt)
+                    if sp is not None and na <= 1:
+                        spmd_fold = sp
+                        self._spmd_fold_specs = sp
+                        self._spmd_fold_naux = na
                 self._spmd_step = make_fused_spmd_step(
                     self.model, mesh, self.dt, task.grid.h, task.order,
-                    task.borders)
+                    task.borders, correctors=spmd_fold)
             elif (self.kernel == "pallas_fused" and self.model.dim == 2
                     and lane_ok
                     and task.grid.shape[0] % (8 * nsx) == 0):
@@ -366,6 +381,15 @@ class Engine:
         if self._spmd_step is not None:
             carry = params["mext"] if params["mext"] is not None \
                 else params["mat"]
+            if self._spmd_fold_specs is not None:
+                if self._spmd_fold_naux:
+                    astack = jnp.stack([aux["damage"]])
+                    u, astack = self._spmd_step(u, carry, axes, aux=astack)
+                    aux = dict(aux)
+                    aux["damage"] = astack[0]
+                else:
+                    u = self._spmd_step(u, carry, axes)
+                return u, aux   # correctors applied in-kernel
             u = self._spmd_step(u, carry, axes)
         elif self._mstack is not None:
             mstack = params["mstack"]

@@ -228,7 +228,8 @@ def _pallas_build(kernel, kwargs, interpret: bool):
 
 def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
                         bx, by, nxl, nyl, nz, nm, interpret: bool,
-                        mdtype=jnp.float32):
+                        mdtype=jnp.float32, correctors=(), naux: int = 0,
+                        dt_corr: float = 0.0):
     """Pallas call over interior tiles (ix in [1,ntx-1), iy in [1,nty-1)).
 
     Operands: (u_local, mext) only — data-independent of the halo exchange,
@@ -244,7 +245,14 @@ def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
     mat_names = layout_names(model, mode)
     keys = layout_keys(model, mode)
 
-    def kernel(u_hbm, m_hbm, out_ref, uwin, mwin, sem_u, sem_m):
+    def kernel(*refs):
+        if naux:
+            u_hbm, m_hbm, aux_ref, out_ref, aux_out = refs[:5]
+            uwin, mwin, sem_u, sem_m = refs[5:]
+        else:
+            u_hbm, m_hbm, out_ref = refs[:3]
+            aux_ref = aux_out = None
+            uwin, mwin, sem_u, sem_m = refs[3:]
         i = pl.program_id(0) + 1
         j = pl.program_id(1) + 1
         t = (i - 1) * ngy + (j - 1)
@@ -282,17 +290,38 @@ def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
             comps, mats = _sweep_window(
                 model, comps, mats, a, order, dtohs[a], borders_z,
                 faces[a], trim=(a != 2), keys=keys)
+        if correctors:
+            from gcm_tpu.ops.pallas_fused import _corrector_epilogue
+
+            aux_in = [aux_ref[q] for q in range(naux)] if naux else []
+            comps, aux_new = _corrector_epilogue(
+                model, correctors, comps, aux_in, dt_corr)
+            for q in range(naux):
+                aux_out[q] = aux_new[q]
         for c in range(C):
             out_ref[c] = comps[c]
 
     dtype = jnp.float32
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    out_specs = pl.BlockSpec((C, bx, by, nz), lambda i, j: (0, i + 1, j + 1, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((C, nxl, nyl, nz), dtype)
+    if naux:
+        in_specs.append(pl.BlockSpec((naux, bx, by, nz),
+                                     lambda i, j: (0, i + 1, j + 1, 0),
+                                     memory_space=pltpu.VMEM))
+        out_specs = [out_specs,
+                     pl.BlockSpec((naux, bx, by, nz),
+                                  lambda i, j: (0, i + 1, j + 1, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((naux, nxl, nyl, nz), dtype)]
     kwargs = dict(
         grid=(ngx, ngy),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((C, bx, by, nz), lambda i, j: (0, i + 1, j + 1, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, nxl, nyl, nz), dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, C, X, Y, nz), dtype),
             pltpu.VMEM((2, nm, X, Y, nz), mdtype),
@@ -307,7 +336,8 @@ def _make_interior_call(model: Model, order: int, dtohs, borders_z, axes,
 
 def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
                     bx, by, nxl, nyl, nz, nm, interpret: bool,
-                    mdtype=jnp.float32):
+                    mdtype=jnp.float32, correctors=(), naux: int = 0,
+                    dt_corr: float = 0.0):
     """Pallas call over the perimeter tiles, consuming the halo slabs and
     writing into the aliased interior-kernel buffer."""
     C = model.ncomp
@@ -319,8 +349,16 @@ def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
     mat_names = layout_names(model, mode)
     keys = layout_keys(model, mode)
 
-    def kernel(u_hbm, m_hbm, xlo, xhi, ylo, yhi, flags, base, out_ref,
-               uwin, mwin, sem_u, sem_m):
+    def kernel(*refs):
+        if naux:
+            (u_hbm, m_hbm, xlo, xhi, ylo, yhi, flags, base, aux_ref,
+             base_aux, out_ref, aux_out) = refs[:12]
+            uwin, mwin, sem_u, sem_m = refs[12:]
+        else:
+            (u_hbm, m_hbm, xlo, xhi, ylo, yhi, flags, base,
+             out_ref) = refs[:9]
+            aux_ref = aux_out = None
+            uwin, mwin, sem_u, sem_m = refs[9:]
         k = pl.program_id(0)
         slot, nslot = k % 2, (k + 1) % 2
 
@@ -433,20 +471,44 @@ def _make_ring_call(model: Model, order: int, dtohs, borders, axes,
             comps, mats = _sweep_window(
                 model, comps, mats, a, order, dtohs[a], borders,
                 faces[a], trim=(a != 2), keys=keys)
+        if correctors:
+            from gcm_tpu.ops.pallas_fused import _corrector_epilogue
+
+            aux_in = [aux_ref[q] for q in range(naux)] if naux else []
+            comps, aux_new = _corrector_epilogue(
+                model, correctors, comps, aux_in, dt_corr)
+            for q in range(naux):
+                aux_out[q] = aux_new[q]
         for c in range(C):
             out_ref[c] = comps[c]
 
     dtype = jnp.float32
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 6
+                + [pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pl.ANY)])
+    out_specs = pl.BlockSpec((C, bx, by, nz),
+                             lambda k: (0, rix(k), riy(k), 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((C, nxl, nyl, nz), dtype)
+    aliases = {7: 0}
+    if naux:
+        in_specs += [pl.BlockSpec((naux, bx, by, nz),
+                                  lambda k: (0, rix(k), riy(k), 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        out_specs = [out_specs,
+                     pl.BlockSpec((naux, bx, by, nz),
+                                  lambda k: (0, rix(k), riy(k), 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((naux, nxl, nyl, nz), dtype)]
+        aliases = {7: 0, 9: 1}
     kwargs = dict(
         grid=(nring,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6
-        + [pl.BlockSpec(memory_space=pltpu.SMEM),
-           pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((C, bx, by, nz),
-                               lambda k: (0, rix(k), riy(k), 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, nxl, nyl, nz), dtype),
-        input_output_aliases={7: 0},
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((2, C, X, Y, nz), dtype),
             pltpu.VMEM((2, nm, X, Y, nz), mdtype),
@@ -472,8 +534,16 @@ def make_fused_spmd_step(
     by: int = 64,
     interpret: Optional[bool] = None,
     force_spmd: bool = False,
+    correctors: Optional[Tuple] = None,
 ):
-    """Build ``step(u, mext, axes) -> u`` — the fused kernel across chips.
+    """Build ``step(u, mext, axes[, aux]) -> u [or (u, aux)]`` — the fused
+    kernel across chips.
+
+    With ``correctors`` (static fold specs from
+    ops.pallas_fused.fold_corrector_specs) the ODE-corrector epilogue
+    applies inside BOTH the interior and ring kernels (sharded
+    viscoelastic/damage steps stay one local HBM pass); damage aux rides
+    as an extra sharded operand/output — elementwise, so no halo.
 
     ``u`` is the globally-shaped sharded state; ``mext`` comes from
     :func:`extended_mstack` (same mesh, same order).  ``axes`` must be
@@ -500,24 +570,28 @@ def make_fused_spmd_step(
         interpret = jax.default_backend() != "tpu"
     nsx = mesh.shape.get("sx", 1)
     nsy = mesh.shape.get("sy", 1)
+    specs = tuple(correctors) if correctors else ()
+    naux = sum(1 for sp in specs if sp[0] == "damage")
     if nsx == 1 and nsy == 1 and not force_spmd:
         from gcm_tpu.ops.pallas_fused import fused_step
 
-        def step(u, mext, axes: Optional[Tuple[int, ...]] = None):
+        def step(u, mext, axes: Optional[Tuple[int, ...]] = None,
+                 aux=None):
             # mext carries the r-deep edge-replicated ring; the interior
             # slice is loop-invariant, so XLA hoists it out of step scans
             mstack = mext
             if mext.shape[1] == u.shape[1] + 2 * r:
                 mstack = mext[:, r:-r, r:-r, :]
             return fused_step(model, u, mstack, dt, h, order, borders,
-                              axes, bx=bx, by=by, interpret=interpret)
+                              axes, bx=bx, by=by, interpret=interpret,
+                              correctors=specs or None, aux=aux)
 
         return step
     borders_z = ({k: v for k, v in borders.items() if k[0] == 2} or None) \
         if borders else None
     dtohs = [float(dt / h[a]) for a in range(3)]
 
-    def local_step(u, mext, axes):
+    def local_step(u, mext, axes, aux=None):
         C, nxl, nyl, nz = u.shape
         bx_ = _pick_tile(nxl, bx, 1)
         by_ = _pick_tile(nyl, by, 8 if nyl % 8 == 0 else 1)
@@ -536,37 +610,56 @@ def make_fused_spmd_step(
                            flag(names[1], 0), flag(names[1], 1)])
 
         nm = mext.shape[0]
+        ck = dict(correctors=specs, naux=naux, dt_corr=float(dt)) \
+            if specs else {}
         if ntx > 2 and nty > 2:
             interior = _make_interior_call(
                 model, order, dtohs, borders_z, axes,
                 bx_, by_, nxl, nyl, nz, nm, interpret,
-                mdtype=mext.dtype)
-            base = interior(u, mext)
+                mdtype=mext.dtype, **ck)
+            base = interior(u, mext, aux) if naux else interior(u, mext)
         else:
             # every tile is on the ring; seed the aliased buffer cheaply
-            base = jnp.zeros((C, nxl, nyl, nz), u.dtype)
+            zero = jnp.zeros((C, nxl, nyl, nz), u.dtype)
+            base = (zero, jnp.zeros_like(aux)) if naux else zero
         ring = _make_ring_call(
             model, order, dtohs, borders, axes,
-            bx_, by_, nxl, nyl, nz, nm, interpret, mdtype=mext.dtype)
+            bx_, by_, nxl, nyl, nz, nm, interpret, mdtype=mext.dtype,
+            **ck)
+        if naux:
+            ub, ab = base
+            return ring(u, mext, xlo, xhi, ylo, yhi, flags, ub, aux, ab)
         return ring(u, mext, xlo, xhi, ylo, yhi, flags, base)
 
     spec_u = P(None, names[0], names[1], None)
     _cache: Dict[Tuple[int, ...], object] = {}
 
-    def step(u, mext, axes: Optional[Tuple[int, ...]] = None):
+    def step(u, mext, axes: Optional[Tuple[int, ...]] = None, aux=None):
         axes = tuple(axes) if axes is not None else (0, 1, 2)
         if axes not in ((0, 1, 2), (2, 1, 0)):
             raise ValueError(f"unsupported axes order {axes}")
-        fn = _cache.get(axes)
+        key = (axes, aux is not None)
+        fn = _cache.get(key)
         if fn is None:
-            fn = jax.jit(jax.shard_map(
-                partial(local_step, axes=axes),
-                mesh=mesh,
-                in_specs=(spec_u, spec_u),
-                out_specs=spec_u,
-                check_vma=False,
-            ))
-            _cache[axes] = fn
+            if aux is not None and naux:
+                fn = jax.jit(jax.shard_map(
+                    lambda uu, me, ax: local_step(uu, me, axes, ax),
+                    mesh=mesh,
+                    in_specs=(spec_u, spec_u, spec_u),
+                    out_specs=(spec_u, spec_u),
+                    check_vma=False,
+                ))
+            else:
+                fn = jax.jit(jax.shard_map(
+                    partial(local_step, axes=axes),
+                    mesh=mesh,
+                    in_specs=(spec_u, spec_u),
+                    out_specs=spec_u,
+                    check_vma=False,
+                ))
+            _cache[key] = fn
+        if aux is not None and naux:
+            return fn(u, mext, aux)
         return fn(u, mext)
 
     return step

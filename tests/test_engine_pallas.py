@@ -232,3 +232,44 @@ def test_engine_canonical_layout_2d(monkeypatch):
     scale = np.abs(want).reshape(5, -1).max(1) + 1e-30
     err = np.abs(res.u - want).reshape(5, -1).max(1) / scale
     assert err.max() < 1e-5, err
+
+
+def test_engine_spmd_folds_correctors(monkeypatch):
+    """Engine(mesh=...) with a source-free viscoelastic+damage task folds
+    the correctors into the spmd kernels and matches the unsharded jnp
+    engine."""
+    import dataclasses
+
+    import numpy as np
+
+    import gcm_tpu.ops.pallas_fused as pfu
+    import gcm_tpu.parallel.fused_spmd as pfs
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.parallel.sharding import domain_mesh
+    from gcm_tpu.scenarios import get_scenario
+    from gcm_tpu.solver.correctors import DamageCorrector, MaxwellCorrector
+
+    for mod in (pfu, pfs):
+        orig = mod.pl.pallas_call
+
+        def wrapped(*a, _orig=orig, **k):
+            k.setdefault("interpret", True)
+            return _orig(*a, **k)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", wrapped)
+
+    import jax
+
+    base = dataclasses.replace(
+        get_scenario("elastic3d_layered", n=16, nsteps=6), detectors=None,
+        correctors=(MaxwellCorrector(tau=1e-3),
+                    DamageCorrector(threshold=3e5, rate=1.0)))
+    ref = Engine(base).run()
+    mesh = domain_mesh(3, devices=jax.devices("cpu")[:8], shape=(4, 2))
+    eng = Engine(dataclasses.replace(base, kernel="pallas_fused"),
+                 mesh=mesh)
+    assert eng._spmd_fold_specs is not None
+    res = eng.run()
+    scale = np.abs(ref.u).reshape(9, -1).max(1) + 1e-30
+    err = np.abs(res.u - ref.u).reshape(9, -1).max(1) / scale
+    assert err.max() < 1e-5, err

@@ -204,3 +204,43 @@ def test_fused_spmd_single_device_dispatch(rng):
         err = (np.abs(got - np.asarray(want)).reshape(model.ncomp, -1).max(1)
                / scale)
         assert err.max() < 2e-6, f"normalized err {err}"
+
+
+def test_fused_spmd_folds_correctors(rng):
+    """Sharded fused step with the Maxwell+damage epilogue folded into the
+    interior AND ring kernels == the global jnp step + corrector passes
+    (VERDICT r3 item 8, multi-chip form)."""
+    from gcm_tpu.ops.pallas_fused import fold_corrector_specs
+    from gcm_tpu.solver.correctors import DamageCorrector, MaxwellCorrector
+
+    shape = (32, 32, 16)
+    model, u, mat, dt = _problem(rng, shape)
+    h = (10.0, 10.0, 10.0)
+    corr = (MaxwellCorrector(tau=40 * dt),
+            DamageCorrector(threshold=2e5, rate=0.5 / dt))
+    specs, naux = fold_corrector_specs(corr, dt)
+    assert naux == 1
+    mesh = domain_mesh(3, devices=jax.devices("cpu")[:8], shape=(4, 2))
+    mext = extended_mstack(model, mat, mesh, 2)
+    spmd = make_fused_spmd_step(model, mesh, dt, h, 2, BORDERS,
+                                bx=8, by=8, correctors=specs)
+    got = jax.device_put(u, field_sharding(mesh, 3))
+    gaux = jax.device_put(jnp.zeros((1,) + shape, jnp.float32),
+                          field_sharding(mesh, 3))
+    want, waux = u, {"damage": jnp.zeros(shape, jnp.float32)}
+    for n in range(3):
+        axes = (0, 1, 2) if n % 2 == 0 else (2, 1, 0)
+        got, gaux = spmd(got, mext, axes, aux=gaux)
+        want = step(model, want, mat, dt, h, 2, BORDERS, axes)
+        for c in corr:
+            want, waux = c(model, want, waux, dt)
+    got, want = np.asarray(got), np.asarray(want)
+    scale = np.abs(want).reshape(model.ncomp, -1).max(1) + 1e-30
+    err = np.abs(got - want).reshape(model.ncomp, -1).max(1) / scale
+    assert err.max() < 2e-6, err
+    assert float(np.asarray(gaux).max()) > 1e-4, "must exercise damage"
+    # atol absorbs threshold knife-edges in max(smax - thr, 0); damage is
+    # in [0, 1] so 1e-5 absolute is negligible
+    np.testing.assert_allclose(np.asarray(gaux[0]),
+                               np.asarray(waux["damage"]),
+                               rtol=1e-5, atol=1e-5)

@@ -100,8 +100,13 @@ class Engine:
         self._perm = None
         self._h = task.grid.h
         self._borders = dict(task.borders)
+        # isotropic only: with OrthotropicMaterialFields the ortho stack's
+        # axis-keyed fields (OrthoKeys.pair/zero) would read the PERMUTED
+        # sweep axis as a physical axis — silently wrong stiffness lookups
+        # (mirrors MultiBodyEngine's iso gate, advisor r4)
         if (getattr(task, "canonical_layout", False) and mesh is None
-                and sharding is None and self.model.dim in (2, 3)):
+                and sharding is None and self.model.dim in (2, 3)
+                and isinstance(self.mat, MaterialFields)):
             dim = self.model.dim
             shape = task.grid.shape
             aligned = [j for j in range(dim) if shape[j] % 128 == 0]
@@ -244,8 +249,10 @@ class Engine:
             if self._perm is not None and self.model.dim == 3:
                 from gcm_tpu.ops.pallas_fused import fused_step_slab
 
-                def _slab_fn(model, u, ms, dt, hs, order, bcs, axes,
+                def _slab_fn(model, u, ms, dt, hs, order, bcs, axes=None,
                              **kw):
+                    # axes defaults to None so the pair-fused (temporal
+                    # blocking) body can pass axes_seq= alone (advisor r4)
                     kw.pop("bx", None)
                     kw.pop("by", None)
                     return fused_step_slab(model, u, ms, dt, hs, order,

@@ -830,6 +830,12 @@ def fused_step_slab(
         raise ValueError(
             f"slab kernel needs {vmem_need(bx)/1e6:.0f} MB VMEM at bx={bx} "
             f"for ny={ny}, nz={nz} — use fused_step (windowed) instead")
+    if halo > 0 and bx < halo:
+        # same clamped-DMA exposure as fused_step's windowed tiles: a
+        # non-edge slab with bx < halo reads wrong rows unpatched
+        raise ValueError(
+            f"fused_step_slab: x-tile {bx} smaller than halo {halo}; "
+            "use the per-sweep pallas path")
     ntx = nx // bx
     dtohs = [float(dt / h[a]) for a in range(3)]
     kernel, X = _make_slab_kernel(
@@ -1033,6 +1039,9 @@ def fused_step_2d(
     ntx = nx // bx
     dtohs = [float(dt / h[a]) for a in range(2)]
     specs = tuple(correctors) if correctors else ()
+    if specs and len(axes_seq) > 1:
+        raise ValueError("fused_step_2d: folded correctors require a "
+                         "single step per window (len(axes_seq) == 1)")
     naux = aux.shape[0] if (specs and aux is not None) else 0
     if specs and any(s[0] == "damage" for s in specs) and aux is None:
         raise ValueError("damage correctors need the aux array")
@@ -1180,11 +1189,27 @@ def fused_step(
             bx = _pick_tile(nx, max(bx // 2, 1), 1)
         if bx <= 1 and by <= 8:
             break
+    # tiles smaller than the halo break the clamped 3x3 segment DMAs: a
+    # NON-edge tile whose window crosses the domain face reads clamped
+    # in-bounds-but-wrong rows and the edge patch (keyed on ix==0 /
+    # ix==ntx-1) never fires for it — silently wrong near-boundary
+    # results (advisor r4).  Raise so callers fall back.
+    if halo > 0 and (bx < halo or by < halo):
+        raise ValueError(
+            f"fused_step: tile ({bx},{by}) smaller than halo {halo} "
+            f"(VMEM pressure at nz={nz}); use fused_step_slab or the "
+            "per-sweep pallas path")
 
     ntx, nty = nx // bx, ny // by
     dtohs = [float(dt / h[a]) for a in range(3)]
 
     specs = tuple(correctors) if correctors else ()
+    if specs and len(axes_seq) > 1:
+        # split-step semantics apply the corrector after EVERY step; the
+        # epilogue runs once per window, so temporal blocking + folded
+        # correctors would silently diverge (advisor r4)
+        raise ValueError("fused_step: folded correctors require a single "
+                         "step per window (len(axes_seq) == 1)")
     naux = aux.shape[0] if (specs and aux is not None) else 0
     if specs and any(s[0] == "damage" for s in specs) and aux is None:
         raise ValueError("damage correctors need the aux array")

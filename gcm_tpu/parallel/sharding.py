@@ -69,12 +69,16 @@ def material_sharding(mesh: Mesh, dim: int) -> NamedSharding:
 
 
 def _spatial_spec(mesh: Mesh, dim: int) -> Tuple:
+    # a mesh may carry only one of the two axis names (e.g. the
+    # canonical+sharded contact composition shards ONLY the middle axis
+    # via a ('sy',)-mesh, keeping the leading contact axis whole)
     names = mesh.axis_names
+    sx = "sx" if "sx" in names else None
     if dim == 1:
-        return ("sx",)
+        return (sx,)
     if dim == 2:
-        return ("sx", None)
-    return ("sx", "sy" if "sy" in names else None, None)
+        return (sx, None)
+    return (sx, "sy" if "sy" in names else None, None)
 
 
 def shard_state(u, mat, mesh: Mesh):

@@ -558,6 +558,9 @@ class SimplexTask:
     #: characteristic interpolation order: 1 = barycentric over the
     #: containing cell, 2 = least-squares quadratic reconstruction tables
     order: int = 1
+    #: compute path: "auto" (fused Pallas sweeps on TPU when eligible),
+    #: "pallas_simplex" (require fused), or "jnp"
+    kernel: str = "auto"
 
     @property
     def is_orthotropic(self) -> bool:

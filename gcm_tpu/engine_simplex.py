@@ -409,6 +409,7 @@ class SimplexMultiEngine:
         cfl: float = 0.8,
         dtype=jnp.float32,
         order: int = 1,
+        kernel: str = "auto",
     ):
         from scipy.spatial import cKDTree
 
@@ -454,6 +455,30 @@ class SimplexMultiEngine:
                 b.u0 if b.u0 is not None
                 else np.zeros((self.model.ncomp, b.grid.npoints)),
                 dtype=dtype)
+
+        # fused compressed-stencil sweeps + post-fixup contacts (VERDICT
+        # r4 next #8): each body's sweep is ONE Pallas VMEM pass over a
+        # padded flat [C, R*L] state (node n sits at flat index n, so the
+        # contact gather/scatter fixups are untouched); all bodies must
+        # qualify so _one_step stays uniform.  auto = on TPU backends.
+        self._splans = None
+        self.kernel = kernel
+        if (kernel in ("auto", "pallas_simplex"))\
+                and all(not b.correctors for b in bodies.values()) \
+                and (kernel == "pallas_simplex"
+                     or jax.default_backend() == "tpu"):
+            from gcm_tpu.ops.pallas_simplex import build_fused_simplex_plan
+
+            plans = {name: build_fused_simplex_plan(
+                         self.model, self.mats[name], self.tables[name],
+                         self.borders[name], dtype=dtype)
+                     for name in bodies}
+            if all(p is not None for p in plans.values()):
+                self._splans = plans
+        if kernel == "pallas_simplex" and self._splans is None:
+            raise ValueError(
+                "kernel='pallas_simplex' needs fully compressed stencil "
+                "tables, isotropic media and no correctors on every body")
 
         # node pairing + bond masks per contact; bodies whose hulls are NOT
         # collocated across the WHOLE interface (independently meshed,
@@ -522,9 +547,39 @@ class SimplexMultiEngine:
             self.auxs = jax.tree.map(jnp.asarray, dict(state["aux"]))
         self.start_step = self._done_step = int(np.asarray(state["step"]))
 
+    def _sweep_one(self, name: str, u, axis: int):
+        """One sweep of one body: the fused Pallas pass over the padded
+        flat state when a plan exists, the jnp roll/gather sweep else."""
+        if self._splans is not None:
+            from gcm_tpu.ops.pallas_simplex import fused_simplex_sweep
+
+            plan = self._splans[name]
+            u3 = u.reshape(self.model.ncomp, plan.R, plan.L)
+            return fused_simplex_sweep(plan, u3, axis).reshape(
+                self.model.ncomp, plan.R * plan.L)
+        from gcm_tpu.solver.simplex_gcm import simplex_stage
+
+        return simplex_stage(self.model, u, self.mats[name],
+                             self.tables[name], axis, self.borders[name])
+
+    def _pad_us(self, us):
+        if self._splans is None:
+            return us
+        return {name: jnp.concatenate(
+                    [u, jnp.zeros((u.shape[0],
+                                   self._splans[name].R
+                                   * self._splans[name].L - u.shape[1]),
+                                  u.dtype)], axis=1)
+                for name, u in us.items()}
+
+    def _unpad_us(self, us):
+        if self._splans is None:
+            return us
+        return {name: u[:, :self._splans[name].N]
+                for name, u in us.items()}
+
     def _one_step(self, us, bonded, auxs, amp, parity: int):
         from gcm_tpu.solver.simplex_contact import apply_simplex_contact_post
-        from gcm_tpu.solver.simplex_gcm import simplex_stage
 
         model = self.model
         axes = tuple(range(model.dim))
@@ -532,9 +587,7 @@ class SimplexMultiEngine:
             axes = axes[::-1]
         for axis in axes:
             olds = us
-            us = {name: simplex_stage(model, u, self.mats[name],
-                                      self.tables[name], axis,
-                                      self.borders[name])
+            us = {name: self._sweep_one(name, u, axis)
                   for name, u in us.items()}
             bonded = dict(bonded)
             for ci, c in enumerate(self.contacts):
@@ -611,7 +664,7 @@ class SimplexMultiEngine:
             return jax.lax.scan(body, carry, amps_pairs)
 
         t0 = _time.perf_counter()
-        us, bonded, auxs = self.us, self.bonded, self.auxs
+        us, bonded, auxs = self._pad_us(self.us), self.bonded, self.auxs
         head_tr = []
         nhead = 0
         # realign an odd-step checkpoint to the even-parity pair boundary
@@ -640,12 +693,13 @@ class SimplexMultiEngine:
                 amps_pairs[done_pairs:done_pairs + take])
             trace_chunks.append(tr)
             done_pairs += take
-            self.us, self.bonded, self.auxs = us, bonded, auxs
+            self.us = self._unpad_us(us)
+            self.bonded, self.auxs = bonded, auxs
             self._done_step = start + nhead + 2 * done_pairs
             if snapshot_cb is not None:
                 snapshot_cb(self._done_step,
                             {k: np.asarray(jax.device_get(v))
-                             for k, v in us.items()})
+                             for k, v in self._unpad_us(us).items()})
         if self._det_idx and trace_chunks:
             traces = {k: jnp.concatenate([t[k] for t in trace_chunks])
                       for k in trace_chunks[0]}
@@ -664,6 +718,7 @@ class SimplexMultiEngine:
             tail_tr.append(self._detect(us))
         jax.tree.map(lambda a: a.block_until_ready(), us)
         wall = _time.perf_counter() - t0
+        us = self._unpad_us(us)
         self.us, self.bonded, self.auxs = us, bonded, auxs
         self._done_step = nsteps
         npts = sum(b.grid.npoints for b in self.bodies.values())

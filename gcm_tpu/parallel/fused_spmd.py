@@ -573,7 +573,7 @@ def make_fused_spmd_step(
     specs = tuple(correctors) if correctors else ()
     naux = sum(1 for sp in specs if sp[0] == "damage")
     if nsx == 1 and nsy == 1 and not force_spmd:
-        from gcm_tpu.ops.pallas_fused import fused_step
+        from gcm_tpu.ops.pallas_fused import fused_step, fused_step_slab
 
         def step(u, mext, axes: Optional[Tuple[int, ...]] = None,
                  aux=None):
@@ -582,6 +582,16 @@ def make_fused_spmd_step(
             mstack = mext
             if mext.shape[1] == u.shape[1] + 2 * r:
                 mstack = mext[:, r:-r, r:-r, :]
+            if not interpret and u.shape[-1] > 128:
+                # the windowed kernel's r-row y-halo segment DMAs crash
+                # the Mosaic compile at >128-lane extents (measured on
+                # v5e, BASELINE.md r2); e.g. canonical permuted layouts
+                # put a 256-lane axis last — route through the slab
+                # kernel like the single-chip engines do
+                return fused_step_slab(model, u, mstack, dt, h, order,
+                                       borders, axes, bx=4,
+                                       interpret=interpret,
+                                       correctors=specs or None, aux=aux)
             return fused_step(model, u, mstack, dt, h, order, borders,
                               axes, bx=bx, by=by, interpret=interpret,
                               correctors=specs or None, aux=aux)

@@ -426,6 +426,13 @@ def main():
         if rec_sim.get("t_step_n65"):
             extras["simplex_points_per_s_n65"] = round(
                 rec_sim["npoints_n65"] / rec_sim["t_step_n65"], 1)
+        if rec_sim.get("simplex_path_n65"):
+            # which sweep form won the interleaved A/B ("fused" = the
+            # round-5 Pallas kernel, "jnp" = the roll-stencil path)
+            extras["simplex_path_n65"] = rec_sim["simplex_path_n65"]
+        if rec_sim.get("t_step_n65_jnp"):
+            extras["simplex_points_per_s_n65_jnp"] = round(
+                rec_sim["npoints_n65"] / rec_sim["t_step_n65_jnp"], 1)
     elif err_sim:
         extras["simplex_error"] = err_sim
     if t_con and rec_con:

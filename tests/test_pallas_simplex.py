@@ -244,3 +244,35 @@ def test_multi_engine_fused_matches_jnp(rng, monkeypatch):
         assert res_f.bodies[name].shape == w.shape
     for ci in res_r.bonded:
         np.testing.assert_array_equal(res_f.bonded[ci], res_r.bonded[ci])
+
+
+def test_fused_sweep_order2(rng):
+    """Order-2 MLS tables (wider delta sets, larger halos) through the
+    fused kernel == the jnp sweep."""
+    grid = SimplexGrid.box((0, 0, 0), (1.0,) * 3, (8,) * 3, jitter=0.1)
+    N = grid.npoints
+    model = get_model("elastic3d")
+    rho = 2500.0 * (1.0 + 0.2 * rng.random(N))
+    mat = MaterialFields.from_arrays(rho, 1e9 * np.ones(N),
+                                     5e8 * np.ones(N), xp=jnp,
+                                     dtype=jnp.float64)
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(grid.points).query(grid.points, k=2)
+    dt = 0.7 * float(d[:, 1].min()) / float(np.asarray(mat.cp).max())
+    tables = compress_foot_tables(build_foot_tables(
+        grid, {"p": np.asarray(mat.cp), "s": np.asarray(mat.cs)}, dt,
+        order=2))
+    assert all(t.stencil is not None for t in tables.values())
+    u0 = rng.standard_normal((9, N))
+    u0[3:] *= 1e6
+    u0 = jnp.asarray(u0)
+    want = u0
+    for a in (0, 1, 2):
+        want = simplex_stage(model, want, mat, tables, a, "free")
+    plan = build_fused_simplex_plan(model, mat, tables, "free",
+                                    dtype=jnp.float64)
+    assert plan is not None
+    got = plan.unpad(fused_simplex_step(plan, plan.pad(u0),
+                                        interpret=True))
+    _compare(model, got, want)

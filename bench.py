@@ -30,7 +30,7 @@ PATH_TIMEOUT_S = 1200
 #: the simplex worker pays ~18 min of host-side table builds (33^3 +
 #: 65^3 Delaunay + locate) before any timing; builds are /tmp-cached so
 #: a retry is fast, but the first run needs the longer budget
-PATH_TIMEOUTS = {"simplex": 2700}
+PATH_TIMEOUTS = {"simplex": 2700, "simplex_contact": 2400}
 
 
 def _sync(x):
@@ -73,6 +73,8 @@ def run_worker(path: str, shape) -> None:
 
     if path == "simplex":
         return _run_simplex_worker()
+    if path == "simplex_contact":
+        return _run_simplex_contact_worker()
     if path == "contact":
         return _run_contact_worker()
     if path == "visco":
@@ -227,6 +229,103 @@ def _run_simplex_worker() -> None:
                       "t_step_n65": t65, "npoints_n65": npts65,
                       "simplex_path_n65": path65,
                       "t_step_jnp": t33_jnp, "t_step_n65_jnp": t65_jnp}))
+
+
+def _run_simplex_contact_worker() -> None:
+    """Two simplex bodies bonded across x with tensile fracture (the
+    unstructured config-4 analogue), on SimplexMultiEngine's fused
+    compressed-stencil sweeps + post-fixup contacts vs the jnp sweeps —
+    interleaved in one process (VERDICT r4 next #8's bench row)."""
+    import hashlib
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    import gcm_tpu.engine_simplex as es
+    from gcm_tpu.engine_simplex import SimplexBody, SimplexMultiEngine
+    from gcm_tpu.grids.simplex import SimplexGrid
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.simplex_contact import SimplexContactSpec
+
+    # /tmp-cache the foot-table builds (the dominant setup cost), keyed
+    # by the mesh geometry+dt so both engine constructions reuse them
+    real_ft = es._foot_tables
+
+    def cached_ft(grid, model, mat, dt, order=1):
+        key = hashlib.md5(
+            grid.points.tobytes()
+            + np.float64(dt).tobytes() + bytes([order])).hexdigest()[:16]
+        path = f"/tmp/simplex_ct_tables_{key}.pkl"
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        tabs = real_ft(grid, model, mat, dt, order=order)
+        with open(path, "wb") as f:
+            pickle.dump(tabs, f)
+        return tabs
+
+    es._foot_tables = cached_ft
+
+    n, half = 49, 25
+    xk = 0.5
+    rng = np.random.default_rng(0)
+    g_a = SimplexGrid.box((0, 0, 0), (xk, 1, 1), (half, n, n),
+                          jitter=0.12)
+    g_b = SimplexGrid.box((xk, 0, 0), (1.0, 1, 1), (n - half + 1, n, n),
+                          jitter=0.12)
+    rock = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+
+    def u0_of(g):
+        u = np.zeros((9, g.npoints), np.float32)
+        u[3:] = 1e5 * rng.standard_normal((6, g.npoints)).astype(
+            np.float32)
+        return u
+
+    bodies = {"a": SimplexBody(g_a, rock, u0=u0_of(g_a)),
+              "b": SimplexBody(g_b, rock, u0=u0_of(g_b))}
+    contacts = [SimplexContactSpec("a", "b", axis=0, kind="bonded",
+                                   tensile_strength=5e5)]
+    engines = {
+        "jnp": SimplexMultiEngine(bodies, contacts, "elastic3d", cfl=0.8,
+                                  dtype=jnp.float32, kernel="jnp"),
+        "fused": SimplexMultiEngine(bodies, contacts, "elastic3d",
+                                    cfl=0.8, dtype=jnp.float32,
+                                    kernel="pallas_simplex"),
+    }
+    npts = g_a.npoints + g_b.npoints
+    K = 10
+    amp = jnp.zeros((0,), jnp.float32)
+    state = {}
+    for name, eng in engines.items():
+        @jax.jit
+        def scan_pairs(carry, _eng=eng):
+            def body(c, _):
+                us, bonded, auxs = c
+                us, bonded, auxs = _eng._one_step(us, bonded, auxs, amp, 0)
+                us, bonded, auxs = _eng._one_step(us, bonded, auxs, amp, 1)
+                return (us, bonded, auxs), None
+
+            return jax.lax.scan(body, carry, None, length=K)[0]
+
+        carry = scan_pairs((eng._pad_us(eng.us), eng.bonded, eng.auxs))
+        v = float(np.asarray(carry[0]["a"][0, 0]))
+        assert np.isfinite(v)
+        state[name] = (scan_pairs, carry)
+
+    ts = {name: [] for name in state}
+    for _ in range(3):
+        for name, (fn, carry) in state.items():
+            t0 = time.perf_counter()
+            carry = fn(carry)
+            float(np.asarray(carry[0]["a"][0, 0]))
+            ts[name].append((time.perf_counter() - t0) / (2 * K))
+            state[name] = (fn, carry)
+    med = {name: float(np.median(v)) for name, v in ts.items()}
+    best = min(med, key=med.get)
+    print(json.dumps({"path": "simplex_contact", "t_step": med[best],
+                      "npoints": npts, "simplex_contact_path": best,
+                      "t_step_jnp": med.get("jnp")}))
 
 
 def _run_contact_worker() -> None:
@@ -384,6 +483,8 @@ def main():
     t_pal, err_pal, rec_pal = _run_path_with_retry("pallas", shape)
     t_fus, err_fus, rec_fus = _run_path_with_retry("fused", shape)
     t_sim, err_sim, rec_sim = _run_path_with_retry("simplex", shape)
+    t_sct, err_sct, rec_sct = _run_path_with_retry("simplex_contact",
+                                                   shape)
     t_con, err_con, rec_con = _run_path_with_retry("contact", shape)
     t_vis, err_vis, _ = _run_path_with_retry("visco", shape)
 
@@ -435,6 +536,14 @@ def main():
                 rec_sim["npoints_n65"] / rec_sim["t_step_n65_jnp"], 1)
     elif err_sim:
         extras["simplex_error"] = err_sim
+    if t_sct and rec_sct:
+        # unstructured 2-body contact/fracture (config 4 on tet meshes),
+        # aggregate over both bodies (VERDICT r4 next #8)
+        extras["simplex_contact_points_per_s"] = round(
+            rec_sct["npoints"] / t_sct, 1)
+        extras["simplex_contact_path"] = rec_sct.get("simplex_contact_path")
+    elif err_sct:
+        extras["simplex_contact_error"] = err_sct
     if t_con and rec_con:
         # multi-body contact/fracture (BASELINE config 4), aggregate over
         # both bodies, on the fused full-step composition

@@ -121,6 +121,11 @@ def build_fused_simplex_plan(
     """Build the fused-sweep plan, or return None when the configuration
     cannot run fused (any uncompressed table, orthotropic media, an
     unsupported border object) — callers fall back to the jnp sweep.
+
+    ``L`` must stay 128 on hardware: wider lane layouts (256/512) fail
+    the Mosaic compile on the multi-tile VMEM window refs (measured on
+    v5e, BASELINE.md round-5 lane-width sweep); interpret mode accepts
+    any L.
     """
     from gcm_tpu.solver.simplex_gcm import NodeBorders
     from gcm_tpu.task import BORDER_KINDS, BorderSpec

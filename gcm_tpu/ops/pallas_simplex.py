@@ -12,8 +12,10 @@ applies the structured path's round-2 lesson to the unstructured sweep:
   (``H = ceil(Dmax/L)+1`` covers every stencil delta) into VMEM once,
   double-buffered across grid steps;
 - every weighted roll of every table of the sweep happens in-VMEM: a roll
-  by delta ``d = q*L + s`` is two static row/lane slices of the window
-  concatenated — no HBM re-reads, no TPU gathers;
+  by delta ``d = q*L + s`` is a ``pltpu.roll`` lane rotate (cached per
+  (comp, s) — measured ~free on v5e) plus a two-row select — no HBM
+  re-reads, no TPU gathers (Mosaic rejects lane-misaligned
+  slice+concat, so rolls are the only lowering that compiles);
 - the pair/zero characteristic algebra and the full border-condition set
   (uniform kind or per-node NodeBorders) run on the block, and the state
   is written once.

@@ -31,6 +31,9 @@ PATH_TIMEOUT_S = 1200
 #: 65^3 Delaunay + locate) before any timing; builds are /tmp-cached so
 #: a retry is fast, but the first run needs the longer budget
 PATH_TIMEOUTS = {"simplex": 2700, "simplex_contact": 2400}
+#: version tag of the /tmp simplex setup caches — bump when the table or
+#: grid formats change so stale pickles rebuild instead of flowing in
+_SIMPLEX_CACHE_V = "r5a"
 
 
 def _sync(x):
@@ -141,9 +144,15 @@ def _run_simplex_worker() -> None:
         # host-side setup cache (mesh + foot tables; ~14 min at 65^3):
         # shared with tools/simplex_fused_probe.py, keyed by n
         cache = f"/tmp/simplex_probe_setup_{n}.pkl"
+        rec = None
         if os.path.exists(cache):
             with open(cache, "rb") as f:
-                grid, tables, dt_c = pickle.load(f)
+                rec = pickle.load(f)
+            if not (isinstance(rec, tuple) and len(rec) == 4
+                    and rec[0] == _SIMPLEX_CACHE_V):
+                rec = None          # stale format from another round
+        if rec is not None:
+            _, grid, tables, dt_c = rec
             u0 = 0.01 * rng.standard_normal(
                 (9, grid.npoints)).astype(np.float32)
             from gcm_tpu.engine_simplex import _material_fields
@@ -165,7 +174,8 @@ def _run_simplex_worker() -> None:
                                 dtype=jnp.float32, kernel="jnp")
             with open(cache, "wb") as f:
                 pickle.dump(
-                    (SimplexGrid(points=grid.points, cells=grid.cells),
+                    (_SIMPLEX_CACHE_V,
+                     SimplexGrid(points=grid.points, cells=grid.cells),
                      eng.tables, eng.dt), f)
         plan = build_fused_simplex_plan(eng.model, eng.mat, eng.tables,
                                         eng.border_kind,

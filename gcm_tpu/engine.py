@@ -119,7 +119,12 @@ class Engine:
                 perm = None
             if (perm is not None
                     and not getattr(task, "canonical_layout", False)):
-                if self.kernel == "pallas_fused":
+                # only a real TPU backend pays the lane-misalignment
+                # fallback (elsewhere lane_ok short-circuits and the
+                # fused kernel runs regardless) — don't mislead CPU runs
+                # (code-review r5)
+                if (self.kernel == "pallas_fused"
+                        and jax.default_backend() == "tpu"):
                     # steer users to the faster layout (VERDICT r4 weak
                     # #5): opt-in because the splitting order changes (an
                     # equally valid symmetrized pair, but a numerically

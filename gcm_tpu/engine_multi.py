@@ -105,10 +105,26 @@ class MultiBodyEngine:
         # layout: state_dict, run results and snapshots unpermute at the
         # boundary.
         self._perm = None
+        orig_contacts = self.contacts   # task-layout axes, pre-permutation
         contact_axes = {c.axis for c in self.contacts}
+        # conformity must be evaluated with the ORIGINAL contact axes on
+        # the task-layout grids, BEFORE any canonical permutation: the
+        # permuted axis would make faces_conform compare the wrong
+        # transverse extents and build_interface_maps treat the wrong
+        # axis as the interface normal (code-review r5). Non-conforming
+        # interfaces also disqualify the canonical perm entirely (the
+        # fused composition can't serve them, and the jnp maps are built
+        # in task layout).
+        from gcm_tpu.solver.contact_nc import faces_conform as _conform
+
+        all_conforming = all(
+            c.span is not None
+            or _conform(bodies[c.body_a].grid, bodies[c.body_b].grid,
+                        c.axis)
+            for c in self.contacts)
         perm = None
         remesh = None
-        if (self.kernel == "pallas_fused"
+        if (self.kernel == "pallas_fused" and all_conforming
                 and self.model.dim == 3 and len(contact_axes) == 1):
             ca = next(iter(contact_axes))
             on_tpu = jax.default_backend() == "tpu"
@@ -148,15 +164,19 @@ class MultiBodyEngine:
             if perm is not None and not canonical_layout:
                 # steer users to the faster layout (VERDICT r4 weak #5):
                 # opt-in because the splitting order changes (an equally
-                # valid symmetrized pair, but a numerically different one)
-                import logging
+                # valid symmetrized pair, but a numerically different
+                # one). TPU backends only — the quoted v5e speedups
+                # don't apply elsewhere (code-review r5)
+                if on_tpu:
+                    import logging
 
-                logging.getLogger("gcm_tpu.perf").warning(
-                    "this contact setup qualifies for the canonical "
-                    "permuted layout (contact axis off the TPU lane dim) "
-                    "- measured 2.4-7x faster contact steps on v5e "
-                    "(BASELINE.md round 4); pass canonical_layout=True "
-                    "(CLI: --canonical-layout) to enable")
+                    logging.getLogger("gcm_tpu.perf").warning(
+                        "this contact setup qualifies for the canonical "
+                        "permuted layout (contact axis off the TPU lane "
+                        "dim) - measured 2.4-7x faster contact steps on "
+                        "v5e (BASELINE.md round 4); pass "
+                        "canonical_layout=True (CLI: --canonical-layout) "
+                        "to enable")
                 perm = None
             if perm is not None:
                 if remesh is not None:
@@ -234,11 +254,18 @@ class MultiBodyEngine:
         from gcm_tpu.solver.contact_nc import (
             build_interface_maps, faces_conform)
 
+        # NOTE: conformity and interface maps use the ORIGINAL (task-
+        # layout) contact axes — self.contacts may already carry permuted
+        # axes, but the grids here are task-layout GridSpecs (code-review
+        # r5). The canonical perm is gated on all-conforming above, so
+        # when it engaged this loop builds nothing.
         self.ncmaps: Dict[int, object] = {}
-        for ci, c in enumerate(self.contacts):
+        for ci, c in enumerate(orig_contacts):
             ga, gb = bodies[c.body_a].grid, bodies[c.body_b].grid
             if c.span is None and not faces_conform(ga, gb, c.axis):
                 self.ncmaps[ci] = build_interface_maps(ga, gb, c.axis)
+        assert not (self._perm is not None and self.ncmaps), \
+            "canonical layout must not engage with non-conforming contacts"
 
         # fused full-step multi-body path (VERDICT r3 item 2): each body
         # runs its whole step through the fused Pallas kernel — ONE HBM

@@ -106,9 +106,14 @@ class SimplexEngine:
         # correctors would need the padded aux plumbing).
         self._splan = None
         self.kernel = kernel
+        # auto skips tiny meshes: the padded [R, 128] layout rounds R up
+        # to a 64-multiple, so meshes far below ~64*128 nodes pay a large
+        # zero-weight pad tax (code-review r5); forcing kernel=
+        # "pallas_simplex" overrides
         if (kernel in ("auto", "pallas_simplex") and not correctors
                 and (kernel == "pallas_simplex"
-                     or jax.default_backend() == "tpu")):
+                     or (jax.default_backend() == "tpu"
+                         and grid.npoints >= 4096))):
             from gcm_tpu.ops.pallas_simplex import build_fused_simplex_plan
 
             self._splan = build_fused_simplex_plan(
@@ -466,7 +471,9 @@ class SimplexMultiEngine:
         if (kernel in ("auto", "pallas_simplex"))\
                 and all(not b.correctors for b in bodies.values()) \
                 and (kernel == "pallas_simplex"
-                     or jax.default_backend() == "tpu"):
+                     or (jax.default_backend() == "tpu"
+                         and all(b.grid.npoints >= 4096
+                                 for b in bodies.values()))):
             from gcm_tpu.ops.pallas_simplex import build_fused_simplex_plan
 
             plans = {name: build_fused_simplex_plan(

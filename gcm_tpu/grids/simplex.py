@@ -312,13 +312,21 @@ class _ComplexLocator:
         return out_cell, out_bary
 
 
-def load_msh(path: str) -> SimplexGrid:
+def load_msh(path: str,
+             reorder: "str | bool | None" = "lex") -> SimplexGrid:
     """Load a Gmsh ASCII .msh (v2.2) mesh as a SimplexGrid.
 
     Keeps 4-node tetrahedra (element type 4) if present, else 3-node
     triangles (type 2, projected to 2D). This is the imported-geometry
     entry point (the reference triangulates real bodies with CGAL;
     SURVEY.md §2 component 5).
+
+    ``reorder`` (default "lex") locality-reorders the nodes so the
+    compressed-stencil fast path applies (see
+    :meth:`SimplexGrid.from_cells`). The FILE's node order is then NOT
+    the grid's: map per-node data built against the .msh numbering with
+    ``data[..., grid.node_order]``, or pass ``reorder=None`` to keep
+    the file order.
     """
     with open(path) as f:
         lines = [ln.strip() for ln in f]
@@ -352,10 +360,10 @@ def load_msh(path: str) -> SimplexGrid:
     pts = np.asarray(coords, np.float64)
     if tets:
         cells = np.asarray([[id_map[v] for v in c] for c in tets], np.int32)
-        return SimplexGrid.from_cells(pts, cells)
+        return SimplexGrid.from_cells(pts, cells, reorder=reorder)
     if tris:
         cells = np.asarray([[id_map[v] for v in c] for c in tris], np.int32)
-        return SimplexGrid.from_cells(pts[:, :2], cells)
+        return SimplexGrid.from_cells(pts[:, :2], cells, reorder=reorder)
     raise ValueError(f"no triangles/tetrahedra in {path}")
 
 

@@ -103,10 +103,13 @@ class FusedSimplexPlan:
         return u3.reshape(lead + (self.R * self.L,))[..., :self.N]
 
 
-def _pick_layout(N: int, dmax: int, L: int = 128) -> Tuple[int, int]:
+def _pick_layout(N: int, L: int = 128) -> Tuple[int, int]:
     # round the row count up to a multiple of 64 so the block size can be
     # chosen from {64, 128, ...} without a divisor hunt (pad rows carry
-    # zero weights everywhere — they cost HBM space, not correctness)
+    # zero weights everywhere — they cost HBM space, not correctness;
+    # 256-multiples measured slightly SLOWER, BASELINE.md r5 addendum).
+    # Small meshes pay a relatively large pad tax here — engines'
+    # "auto" mode keeps them on the jnp sweep (see the engine gates).
     R = -(-N // L)
     R = -(-R // 64) * 64
     return R, L
@@ -138,8 +141,7 @@ def build_fused_simplex_plan(
     if not tabs or any(t.stencil is None for t in tabs.values()):
         return None
     N = int(next(iter(tabs.values())).ids.shape[0])
-    dmax = max(int(np.abs(t.stencil[0]).max()) for t in tabs.values())
-    R, L = _pick_layout(N, dmax, L)
+    R, L = _pick_layout(N, L)
 
     # border normalization
     bc = None

@@ -471,21 +471,92 @@ def test_canonical_layout_under_device_mesh(monkeypatch):
                                       np.asarray(bonded[ci]))
 
 
-def test_canonical_hint_when_eligible(caplog):
+def test_canonical_hint_when_eligible(caplog, monkeypatch):
     """Eligible-but-unrequested canonical cases must surface a one-line
     perf hint instead of silently paying the fixup tax (VERDICT r4 weak
-    #5); requesting it silences the hint."""
+    #5); requesting it silences it, and it only fires on TPU backends
+    (the quoted speedups are v5e measurements — code-review r5)."""
     import logging
+
+    import jax
 
     bodies, contacts = elastic3d_contact(n=12, nsteps=2)
     bodies_f = {k: dataclasses.replace(t, kernel="pallas_fused")
                 for k, t in bodies.items()}
+    # CPU backend: small meshes are fused-eligible regardless of lane
+    # alignment, so no hint
     with caplog.at_level(logging.WARNING, logger="gcm_tpu.perf"):
         eng = MultiBodyEngine(bodies_f, contacts)
+    assert eng._perm is None
+    assert not any("canonical" in r.message for r in caplog.records)
+    # simulated TPU backend on a lane-aligned shape: the hint fires
+    import gcm_tpu.engine_multi as em
+
+    monkeypatch.setattr(em.jax, "default_backend", lambda: "tpu")
+    bodies128, contacts128 = elastic3d_contact(n=128, nsteps=2)
+    bodies128 = {k: dataclasses.replace(t, kernel="pallas_fused")
+                 for k, t in bodies128.items()}
+    with caplog.at_level(logging.WARNING, logger="gcm_tpu.perf"):
+        eng = MultiBodyEngine(bodies128, contacts128)
     assert eng._perm is None
     assert any("canonical" in r.message for r in caplog.records)
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger="gcm_tpu.perf"):
-        eng2 = MultiBodyEngine(bodies_f, contacts, canonical_layout=True)
+        eng2 = MultiBodyEngine(bodies128, contacts128,
+                               canonical_layout=True)
     assert eng2._perm is not None
     assert not any("canonical" in r.message for r in caplog.records)
+
+
+def test_canonical_conformity_uses_original_axes(monkeypatch):
+    """code-review r5: conformity/interface-map construction must use the
+    ORIGINAL (task-layout) contact axes, not the permuted ones.
+
+    Case A — bodies differing only along the contact NORMAL (truly
+    conforming z-interface): canonical must engage with NO interface
+    maps (pre-fix, faces_conform(·, permuted axis 0) compared the wrong
+    extents and built garbage maps).  Case B — genuinely non-conforming
+    transverse spacing: canonical must refuse and the maps must be built
+    about the TRUE axis."""
+    import gcm_tpu.ops.pallas_fused as pf
+    from gcm_tpu.materials import IsotropicMaterial
+    from gcm_tpu.solver.contact import ContactSpec
+    from gcm_tpu.task import BorderSpec, GridSpec, Task, TimeSpec
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    rock = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
+
+    def body(nz, h=10.0, hxy=10.0, n=12):
+        return Task(
+            name=f"b{nz}", model="elastic3d",
+            grid=GridSpec((n, n, nz), (hxy, hxy, h)),
+            default_material=rock,
+            borders={(a, s): BorderSpec("absorbing")
+                     for a in range(3) for s in (0, 1)},
+            time=TimeSpec(cfl=0.8, nsteps=2), order=2,
+            kernel="pallas_fused")
+
+    # Case A: nz_a != nz_b, transversally identical -> conforming
+    bodies = {"up": body(8), "lo": body(6)}
+    contacts = (ContactSpec("up", "lo", axis=2, kind="bonded"),)
+    eng = MultiBodyEngine(bodies, contacts, canonical_layout=True)
+    assert eng._perm is not None, "truly conforming: canonical engages"
+    assert not eng.ncmaps, "no interface maps for a conforming interface"
+    res = eng.run()
+    for v in res.bodies.values():
+        assert np.isfinite(v).all()
+
+    # Case B: transverse spacing differs -> non-conforming; canonical
+    # refuses, and the maps exist for the TRUE axis
+    bodies_nc = {"up": body(8, hxy=10.0), "lo": body(8, hxy=5.0, n=23)}
+    contacts_nc = (ContactSpec("up", "lo", axis=2, kind="bonded"),)
+    eng_nc = MultiBodyEngine(bodies_nc, contacts_nc, canonical_layout=True)
+    assert eng_nc._perm is None, "non-conforming must refuse canonical"
+    assert 0 in eng_nc.ncmaps

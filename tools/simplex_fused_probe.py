@@ -40,10 +40,17 @@ def main():
     # retries don't pay it again (host-side setup artifact only)
     import pickle
 
+    CACHE_V = "r5a"     # keep in sync with bench.py _SIMPLEX_CACHE_V
     cache = f"/tmp/simplex_probe_setup_{n}.pkl"
+    rec = None
     if os.path.exists(cache):
         with open(cache, "rb") as f:
-            grid, tables, dt = pickle.load(f)
+            rec = pickle.load(f)
+        if not (isinstance(rec, tuple) and len(rec) == 4
+                and rec[0] == CACHE_V):
+            rec = None
+    if rec is not None:
+        _, grid, tables, dt = rec
         u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(
             np.float32)
         eng = SimplexEngine.__new__(SimplexEngine)
@@ -66,7 +73,8 @@ def main():
         eng = SimplexEngine(grid, "elastic3d", mat, cfl=0.8, u0=u0,
                             dtype=jnp.float32, kernel="jnp")
         with open(cache, "wb") as f:
-            pickle.dump((SimplexGrid(points=grid.points, cells=grid.cells),
+            pickle.dump((CACHE_V,
+                         SimplexGrid(points=grid.points, cells=grid.cells),
                          eng.tables, eng.dt), f)
     print(json.dumps({"setup_s": round(time.time() - t0, 1),
                       "npoints": int(grid.npoints),

@@ -42,7 +42,7 @@ def main():
     for mult in (64, 256):
         psx._pick_layout = (
             orig_layout if mult == 64 else
-            (lambda NN, dmax, L=128: (-(-(-(-NN // L)) // 256) * 256, L)))
+            (lambda NN, L=128: (-(-(-(-NN // L)) // 256) * 256, L)))
         plan = psx.build_fused_simplex_plan(model, mat, tables,
                                            "absorbing", dtype=jnp.float32)
         psx._pick_layout = orig_layout

@@ -133,7 +133,7 @@ def build_fused_simplex_plan(
     any L.
     """
     from gcm_tpu.solver.simplex_gcm import NodeBorders
-    from gcm_tpu.task import BORDER_KINDS, BorderSpec
+    from gcm_tpu.task import BorderSpec
 
     if not isinstance(mat, MaterialFields):
         return None          # ortho media keep the per-pair jnp path

@@ -29,6 +29,7 @@ from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import Model, get_model
 from gcm_tpu.solver.gcm import cfl_dt, step as solver_step
 from gcm_tpu.task import Task
+from gcm_tpu.utils.backend import on_tpu
 
 
 def resolve_kernel(kernel: str, dim: int) -> str:
@@ -38,7 +39,7 @@ def resolve_kernel(kernel: str, dim: int) -> str:
     benchmark path by default on TPU (VERDICT r2 weak #4)."""
     if kernel != "auto":
         return kernel
-    if jax.default_backend() == "tpu" and dim in (2, 3):
+    if on_tpu() and dim in (2, 3):
         return "pallas_fused"
     return "jnp"
 
@@ -123,8 +124,7 @@ class Engine:
                 # fallback (elsewhere lane_ok short-circuits and the
                 # fused kernel runs regardless) — don't mislead CPU runs
                 # (code-review r5)
-                if (self.kernel == "pallas_fused"
-                        and jax.default_backend() == "tpu"):
+                if self.kernel == "pallas_fused" and on_tpu():
                     # steer users to the faster layout (VERDICT r4 weak
                     # #5): opt-in because the splitting order changes (an
                     # equally valid symmetrized pair, but a numerically
@@ -172,7 +172,7 @@ class Engine:
                     self.u, field_sharding(mesh, self.model.dim))
             mshard = material_sharding(mesh, self.model.dim)
             nsx = mesh.shape.get("sx", 1)
-            lane_ok = (jax.default_backend() != "tpu"
+            lane_ok = (not on_tpu(mesh)
                        or task.grid.shape[-1] % 128 == 0)
             if (self.kernel == "pallas_fused" and self.model.dim == 3
                     and lane_ok):
@@ -246,9 +246,9 @@ class Engine:
         # per-stiffness layout; 3D uses fused_step, 2D fused_step_2d)
         self._mstack = None
         self._fused_fn = None
-        on_tpu = jax.default_backend() == "tpu"
+        hw_tpu = on_tpu(mesh)
         pshape = self._pshape()
-        lane_ok = (not on_tpu) or pshape[-1] % 128 == 0
+        lane_ok = (not hw_tpu) or pshape[-1] % 128 == 0
         if (mesh is None and self.kernel == "pallas_fused"
                 and self.model.dim in (2, 3)
                 # Mosaic constraints on hardware: the lane (last) dim of

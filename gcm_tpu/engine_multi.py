@@ -20,6 +20,7 @@ import numpy as np
 from gcm_tpu.engine import RunResult
 from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import get_model
+from gcm_tpu.utils.backend import on_tpu
 from gcm_tpu.solver.contact import ContactSpec
 from gcm_tpu.solver.multi import step_multi
 from gcm_tpu.task import Task
@@ -127,13 +128,13 @@ class MultiBodyEngine:
         if (self.kernel == "pallas_fused" and all_conforming
                 and self.model.dim == 3 and len(contact_axes) == 1):
             ca = next(iter(contact_axes))
-            on_tpu = jax.default_backend() == "tpu"
+            hw_tpu = on_tpu(mesh)
             iso = all(isinstance(m, MaterialFields)
                       for m in self.mats.values())
             if mesh is None:
                 perm = (ca,) + tuple(d for d in range(3) if d != ca)
                 lane_ok = all(
-                    (not on_tpu) or t.grid.shape[perm[-1]] % 128 == 0
+                    (not hw_tpu) or t.grid.shape[perm[-1]] % 128 == 0
                     for t in bodies.values())
                 if ca == 0 or not lane_ok or not iso:
                     perm = None
@@ -148,7 +149,7 @@ class MultiBodyEngine:
                 nsh = int(mesh.devices.size)
                 lane_cands = [
                     d for d in rest
-                    if all((not on_tpu) or t.grid.shape[d] % 128 == 0
+                    if all((not hw_tpu) or t.grid.shape[d] % 128 == 0
                            for t in bodies.values())]
                 if lane_cands and iso:
                     lane = lane_cands[-1]
@@ -167,7 +168,7 @@ class MultiBodyEngine:
                 # valid symmetrized pair, but a numerically different
                 # one). TPU backends only — the quoted v5e speedups
                 # don't apply elsewhere (code-review r5)
-                if on_tpu:
+                if hw_tpu:
                     import logging
 
                     logging.getLogger("gcm_tpu.perf").warning(
@@ -275,10 +276,10 @@ class MultiBodyEngine:
         self._fused_multi = None
         from gcm_tpu.solver.multi import fused_contacts_ok
 
-        on_tpu = jax.default_backend() == "tpu"
+        hw_tpu = on_tpu(self.mesh)
         shapes = {k: self._pshape(k) for k in bodies}
         shapes_ok = all(
-            ((not on_tpu) or shapes[k][-1] % 128 == 0)
+            ((not hw_tpu) or shapes[k][-1] % 128 == 0)
             and (self.model.dim == 3 or shapes[k][0] % 8 == 0)
             for k in bodies)
         # SHARDED fused composition (VERDICT r3 item 2, multi-chip form):

@@ -24,6 +24,7 @@ from gcm_tpu.materials import (
     OrthotropicMaterialFields,
 )
 from gcm_tpu.models.spec import get_model
+from gcm_tpu.utils.backend import on_tpu
 from gcm_tpu.solver.simplex_gcm import simplex_step
 
 
@@ -112,7 +113,7 @@ class SimplexEngine:
         # "pallas_simplex" overrides
         if (kernel in ("auto", "pallas_simplex") and not correctors
                 and (kernel == "pallas_simplex"
-                     or (jax.default_backend() == "tpu"
+                     or (on_tpu()
                          and grid.npoints >= 4096))):
             from gcm_tpu.ops.pallas_simplex import build_fused_simplex_plan
 
@@ -471,7 +472,7 @@ class SimplexMultiEngine:
         if (kernel in ("auto", "pallas_simplex"))\
                 and all(not b.correctors for b in bodies.values()) \
                 and (kernel == "pallas_simplex"
-                     or (jax.default_backend() == "tpu"
+                     or (on_tpu()
                          and all(b.grid.npoints >= 4096
                                  for b in bodies.values()))):
             from gcm_tpu.ops.pallas_simplex import build_fused_simplex_plan

@@ -54,6 +54,7 @@ from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import Model
 from gcm_tpu.ops.interp import stencil_offsets, stencil_radius, stencil_weights
 from gcm_tpu.task import BorderSpec
+from gcm_tpu.utils.backend import default_interpret, on_tpu
 
 Borders = Dict[Tuple[int, int], BorderSpec]
 
@@ -667,7 +668,7 @@ def _require_lane_alignment(n_lane: int, interpret, name: str) -> None:
     fall back to the per-sweep Pallas kernels; direct callers get a clear
     error instead of a remote-compile crash."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not on_tpu()
     if not interpret and n_lane % 128 != 0:
         raise ValueError(
             f"{name}: the last (lane) dimension must be a multiple of 128 "
@@ -904,8 +905,7 @@ def fused_step_slab(
             vmem_limit_bytes=max(128 * 1024 * 1024,
                                  vmem_budget + 32 * 1024 * 1024),
         ),
-        **({"interpret": True} if (interpret if interpret is not None
-                           else jax.default_backend() != "tpu")
+        **({"interpret": True} if default_interpret(interpret=interpret)
            else {}),
     )(*operands)
     return out
@@ -1125,8 +1125,7 @@ def fused_step_2d(
             vmem_limit_bytes=max(100 * 1024 * 1024,
                                  vmem_budget + 32 * 1024 * 1024),
         ),
-        **({"interpret": True} if (interpret if interpret is not None
-                           else jax.default_backend() != "tpu")
+        **({"interpret": True} if default_interpret(interpret=interpret)
            else {}),
     )(*operands)
     return out
@@ -1298,8 +1297,7 @@ def fused_step(
         ),
         # omit the kwarg when False so test harnesses can monkeypatch a
         # default interpret=True for the CPU backend
-        **({"interpret": True} if (interpret if interpret is not None
-                           else jax.default_backend() != "tpu")
+        **({"interpret": True} if default_interpret(interpret=interpret)
            else {}),
     )(*operands)
     return out

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import Model
+from gcm_tpu.utils.backend import default_interpret
 
 _Z_EPS = 1e-30
 
@@ -491,8 +492,7 @@ def fused_simplex_sweep(
             vmem_limit_bytes=max(100 * 1024 * 1024,
                                  vmem_budget + 32 * 1024 * 1024),
         ),
-        **({"interpret": True} if (interpret if interpret is not None
-                                   else jax.default_backend() != "tpu")
+        **({"interpret": True} if default_interpret(interpret=interpret)
            else {}),
     )(*operands)
     return out

@@ -40,6 +40,7 @@ from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import Model
 from gcm_tpu.ops.interp import stencil_offsets, stencil_radius, stencil_weights
 from gcm_tpu.task import BorderSpec
+from gcm_tpu.utils.backend import on_tpu
 
 Borders = Dict[Tuple[int, int], BorderSpec]
 
@@ -465,7 +466,7 @@ def pallas_stage(
     # non-TPU backends (CPU tests, dryruns) run in interpret mode; omit the
     # kwarg on TPU so test harnesses can still monkeypatch pallas_call
     interp_kw = (
-        {"interpret": True} if jax.default_backend() != "tpu" else {})
+        {"interpret": True} if not on_tpu() else {})
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -58,6 +58,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcm_tpu.materials import MaterialFields
 from gcm_tpu.models.spec import Model
+from gcm_tpu.utils.backend import on_tpu
 from gcm_tpu.ops.interp import stencil_radius
 from gcm_tpu.ops.pallas_fused import (
     _pick_tile,
@@ -567,7 +568,10 @@ def make_fused_spmd_step(
         "sy" if "sy" in mesh.axis_names else None,
     )
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # the mesh's device platform, NOT the process default backend —
+        # the two differ when a CPU mesh is used in a process where a TPU
+        # plugin registered anyway (utils.backend docstring)
+        interpret = not on_tpu(mesh)
     nsx = mesh.shape.get("sx", 1)
     nsy = mesh.shape.get("sy", 1)
     specs = tuple(correctors) if correctors else ()
@@ -858,7 +862,7 @@ def make_fused_spmd_step_2d(
         raise ValueError(f"stencil radius {r} exceeds slab depth {H2}")
     name = "sx" if "sx" in mesh.axis_names else None
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not on_tpu(mesh)
     nsx = mesh.shape.get("sx", 1)
     if nsx == 1 and not force_spmd:
         from gcm_tpu.ops.pallas_fused import fused_step_2d

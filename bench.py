@@ -31,9 +31,10 @@ PATH_TIMEOUT_S = 1200
 #: 65^3 Delaunay + locate) before any timing; builds are /tmp-cached so
 #: a retry is fast, but the first run needs the longer budget
 PATH_TIMEOUTS = {"simplex": 2700, "simplex_contact": 2400}
-#: version tag of the /tmp simplex setup caches — bump when the table or
-#: grid formats change so stale pickles rebuild instead of flowing in
-_SIMPLEX_CACHE_V = "r5a"
+# the /tmp simplex setup-cache format is owned by
+# tools/simplex_setup_cache.py (shared with every tools/simplex_*_probe)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tools"))
 
 
 def _sync(x):
@@ -127,8 +128,6 @@ def _run_simplex_worker() -> None:
     import jax
     import jax.numpy as jnp
 
-    from gcm_tpu.engine_simplex import SimplexEngine
-    from gcm_tpu.grids.simplex import SimplexGrid
     from gcm_tpu.materials import IsotropicMaterial
     from gcm_tpu.ops.pallas_simplex import (
         build_fused_simplex_plan, fused_simplex_step)
@@ -137,46 +136,16 @@ def _run_simplex_worker() -> None:
     rng = np.random.default_rng(0)
 
     def measure(n):
-        import pickle
+        from simplex_setup_cache import engine_from_parts, load_or_build
 
         mat = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0,
                                             cs=2300.0)
         # host-side setup cache (mesh + foot tables; ~14 min at 65^3):
-        # shared with tools/simplex_fused_probe.py, keyed by n
-        cache = f"/tmp/simplex_probe_setup_{n}.pkl"
-        rec = None
-        if os.path.exists(cache):
-            with open(cache, "rb") as f:
-                rec = pickle.load(f)
-            if not (isinstance(rec, tuple) and len(rec) == 4
-                    and rec[0] == _SIMPLEX_CACHE_V):
-                rec = None          # stale format from another round
-        if rec is not None:
-            _, grid, tables, dt_c = rec
-            u0 = 0.01 * rng.standard_normal(
-                (9, grid.npoints)).astype(np.float32)
-            from gcm_tpu.engine_simplex import _material_fields
-            from gcm_tpu.models.spec import get_model
-
-            eng = SimplexEngine.__new__(SimplexEngine)
-            eng.model = get_model("elastic3d")
-            eng.mat = _material_fields(mat, grid.npoints, jnp.float32)
-            eng.tables = tables
-            eng.dt = dt_c
-            eng.border_kind = "absorbing"
-            eng.u = jnp.asarray(u0)
-        else:
-            grid = SimplexGrid.box((0, 0, 0), (1.0, 1.0, 1.0), (n, n, n),
-                                   jitter=0.15)
-            u0 = 0.01 * rng.standard_normal(
-                (9, grid.npoints)).astype(np.float32)
-            eng = SimplexEngine(grid, "elastic3d", mat, cfl=0.8, u0=u0,
-                                dtype=jnp.float32, kernel="jnp")
-            with open(cache, "wb") as f:
-                pickle.dump(
-                    (_SIMPLEX_CACHE_V,
-                     SimplexGrid(points=grid.points, cells=grid.cells),
-                     eng.tables, eng.dt), f)
+        # format owned by tools/simplex_setup_cache.py, keyed by n
+        grid, tables, dt_c = load_or_build(n, mat)
+        u0 = 0.01 * rng.standard_normal(
+            (9, grid.npoints)).astype(np.float32)
+        eng = engine_from_parts(mat, grid, tables, dt_c, u0)
         plan = build_fused_simplex_plan(eng.model, eng.mat, eng.tables,
                                         eng.border_kind,
                                         dtype=jnp.float32)

@@ -147,13 +147,21 @@ class MultiBodyEngine:
                 # lane axis is, as always, unsharded
                 rest = [d for d in range(3) if d != ca]
                 nsh = int(mesh.devices.size)
-                lane_cands = [
-                    d for d in rest
-                    if all((not hw_tpu) or t.grid.shape[d] % 128 == 0
-                           for t in bodies.values())]
-                if lane_cands and iso:
-                    lane = lane_cands[-1]
-                    mid = next(d for d in rest if d != lane)
+                # the transverse storage order must stay TASK-ASCENDING
+                # (rest[0], rest[1]): ContactSpec lo/span entries map to
+                # the remaining storage dims in ascending order
+                # (contact.face_sub_index), and checkpointed fracture
+                # bond masks are saved in the permuted transverse layout
+                # — an inverted order would slice the wrong span
+                # sub-rectangle and transpose resumed masks (code-review
+                # r5). So only rest[1] may be the lane axis; if it is
+                # lane-misaligned, fall back to the non-canonical path.
+                lane = rest[1]
+                mid = rest[0]
+                lane_aligned = all(
+                    (not hw_tpu) or t.grid.shape[lane] % 128 == 0
+                    for t in bodies.values())
+                if lane_aligned and iso:
                     div_ok = all(t.grid.shape[mid] % nsh == 0
                                  for t in bodies.values())
                     if div_ok:

@@ -28,6 +28,40 @@ from gcm_tpu.utils.backend import on_tpu
 from gcm_tpu.solver.simplex_gcm import simplex_step
 
 
+def _points_fingerprint(grid) -> "np.ndarray | None":
+    """md5 (as a [16] uint8 array — orbax rejects str leaves) of the node
+    coordinates in storage order — changes whenever the node NUMBERING
+    changes (locality reorder, different mesh), which is exactly what
+    makes a per-node checkpoint unresumable."""
+    if grid is None or getattr(grid, "points", None) is None:
+        return None
+    import hashlib
+
+    digest = hashlib.md5(
+        np.ascontiguousarray(grid.points).tobytes()).digest()
+    return np.frombuffer(digest, np.uint8).copy()
+
+
+def _check_points_fingerprint(saved, grid,
+                              body: "str | None" = None) -> None:
+    """Raise when a checkpoint's node numbering doesn't match the engine's
+    grid. Checkpoints predating the fingerprint (saved is None) load
+    as before — unverifiable."""
+    if saved is None:
+        return
+    cur = _points_fingerprint(grid)
+    if cur is not None and not np.array_equal(np.asarray(saved), cur):
+        where = f" for body '{body}'" if body else ""
+        raise ValueError(
+            f"checkpoint node numbering mismatch{where}: the saved fields "
+            "were written under a different node order than this grid. "
+            "Imported meshes (from_cells/load_msh) are locality-reordered "
+            "by default since round 5 — rebuild the grid with the same "
+            "reorder setting the checkpoint was written under (e.g. "
+            "reorder=None for pre-reorder checkpoints), or remap external "
+            "data with grid.node_order.")
+
+
 @dataclasses.dataclass
 class SimplexRunResult:
     u: np.ndarray
@@ -188,10 +222,22 @@ class SimplexEngine:
 
     def state_dict(self) -> Dict:
         """Full restartable state: fields, corrector aux, completed steps
-        (simplex parity with Engine.state_dict — VERDICT r2 missing #5)."""
-        return {"u": self.u, "aux": self.aux, "step": self._done_step}
+        (simplex parity with Engine.state_dict — VERDICT r2 missing #5).
+        Carries a node-numbering fingerprint: per-node fields are only
+        meaningful in the numbering they were saved under, and imported
+        meshes are locality-REORDERED at load by default (from_cells /
+        load_msh), so a resume across a renumbering must fail loudly
+        instead of silently assigning fields to the wrong nodes
+        (code-review r5)."""
+        d = {"u": self.u, "aux": self.aux, "step": self._done_step}
+        fp = _points_fingerprint(getattr(self, "grid", None))
+        if fp is not None:
+            d["points_md5"] = fp
+        return d
 
     def load_state(self, state: Dict) -> None:
+        _check_points_fingerprint(state.get("points_md5"),
+                                  getattr(self, "grid", None))
         self.u = jnp.asarray(state["u"], dtype=self.dtype)
         self.aux = jax.tree.map(jnp.asarray, state["aux"])
         self.start_step = self._done_step = int(np.asarray(state["step"]))
@@ -540,13 +586,22 @@ class SimplexMultiEngine:
 
     def state_dict(self) -> Dict:
         """Restartable state: per-body fields, bond masks, corrector aux,
-        completed steps — parity with MultiBodyEngine.state_dict."""
+        completed steps — parity with MultiBodyEngine.state_dict. Includes
+        per-body node-numbering fingerprints (see SimplexEngine.state_dict)."""
+        fps = {name: _points_fingerprint(b.grid)
+               for name, b in self.bodies.items()}
         return {"us": self.us,
                 "bonded": {str(k): v for k, v in self.bonded.items()},
                 "aux": self.auxs,
-                "step": self._done_step}
+                "step": self._done_step,
+                "points_md5": {k: v for k, v in fps.items()
+                               if v is not None}}
 
     def load_state(self, state: Dict) -> None:
+        for name, fp in (state.get("points_md5") or {}).items():
+            if name in self.bodies:
+                _check_points_fingerprint(fp, self.bodies[name].grid,
+                                          body=name)
         self.us = {k: jnp.asarray(v) for k, v in state["us"].items()}
         # non-conforming contacts store per-side mask dicts, so tree-map
         self.bonded = {int(k): jax.tree.map(jnp.asarray, v)

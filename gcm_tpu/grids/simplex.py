@@ -197,12 +197,20 @@ class SimplexGrid:
     @staticmethod
     def box_minus(lo: Sequence[float], hi: Sequence[float], n: Sequence[int],
                   holes: Sequence[object] = (), jitter: float = 0.0,
-                  seed: int = 0) -> "SimplexGrid":
+                  seed: int = 0,
+                  reorder: "str | bool | None" = "lex") -> "SimplexGrid":
         """Lattice triangulation of a box with cells removed wherever the
         cell centroid falls inside any of the ``holes`` (``task.Area``
         objects) — notches, canyons, cavities. The result is an explicit
         (possibly non-convex) complex; unused points are dropped.
-        Dimension-generic (tri in 2D, tet in 3D)."""
+        Dimension-generic (tri in 2D, tet in 3D).
+
+        NOTE: with holes present, the result goes through
+        :meth:`from_cells`, whose default locality reorder renumbers the
+        nodes (``grid.node_order`` records the permutation; per-node
+        checkpoints carry a fingerprint and fail loudly across a
+        renumbering). Pass ``reorder=None`` to keep the drop-compacted
+        lattice numbering."""
         base = SimplexGrid.box(lo, hi, n, jitter=jitter, seed=seed)
         if not holes:
             return base
@@ -214,7 +222,8 @@ class SimplexGrid:
         used = np.unique(cells)
         remap = -np.ones(base.npoints, np.int64)
         remap[used] = np.arange(len(used))
-        return SimplexGrid.from_cells(base.points[used], remap[cells])
+        return SimplexGrid.from_cells(base.points[used], remap[cells],
+                                      reorder=reorder)
 
     def hull_mask(self) -> np.ndarray:
         """Boolean mask of border nodes: vertices of faces that belong to

@@ -53,7 +53,16 @@ def restore_checkpoint(directory: str, state_like: Dict[str, Any],
     if step is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
     abstract = _abstractify(state_like)
-    out = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    try:
+        out = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    except ValueError:
+        if not (isinstance(abstract, dict) and "points_md5" in abstract):
+            raise
+        # checkpoints written before the node-numbering fingerprint
+        # (round 5) lack the key; restore without it — the engine then
+        # skips the (unverifiable) check
+        abstract = {k: v for k, v in abstract.items() if k != "points_md5"}
+        out = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     mgr.close()
     return out
 

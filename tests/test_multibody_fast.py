@@ -471,6 +471,63 @@ def test_canonical_layout_under_device_mesh(monkeypatch):
                                       np.asarray(bonded[ci]))
 
 
+def test_canonical_under_mesh_span_contact(monkeypatch):
+    """A PARTIAL-OVERLAP (lo/span) contact under canonical + mesh: the
+    permuted transverse storage order must stay task-ascending — an
+    inverted order would apply lo/span to the wrong transverse axes
+    (contact.face_sub_index assigns entries in ascending storage-dim
+    order) and transpose checkpointed bond masks (code-review r5)."""
+    import jax
+    from jax.sharding import Mesh
+
+    import gcm_tpu.ops.pallas_fused as pf
+    import gcm_tpu.parallel.fused_spmd as pfs
+    from gcm_tpu.solver.multi import step_multi as sm
+
+    for mod in (pf, pfs):
+        orig = mod.pl.pallas_call
+
+        def wrapped(*a, _orig=orig, **k):
+            k.setdefault("interpret", True)
+            return _orig(*a, **k)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", wrapped)
+
+    bodies, _ = elastic3d_contact(n=12, nsteps=4)
+    # asymmetric per-transverse-axis lo/span so a transposed mapping
+    # cannot silently agree with the reference
+    contacts = (ContactSpec("upper", "lower", axis=2, kind="bonded",
+                            tensile_strength=1.0e5, broken_kind="free",
+                            lo_a=(2, 1), lo_b=(1, 0), span=(8, 9)),)
+    bodies_f = {k: dataclasses.replace(t, kernel="pallas_fused")
+                for k, t in bodies.items()}
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), ("sx",))
+    eng = MultiBodyEngine(bodies_f, contacts, mesh=mesh,
+                          canonical_layout=True)
+    assert eng._perm is not None
+    # the invariant under test: transverse part of the perm is ascending
+    assert list(eng._perm[1:]) == sorted(eng._perm[1:])
+    assert eng._fused_multi is not None
+    res = eng.run()
+
+    ref = MultiBodyEngine(bodies, contacts)      # jnp engine for setup
+    us, bonded = dict(ref.us), dict(ref.bonded)
+    for n in range(ref.nsteps):
+        axes = (2, 0, 1) if n % 2 == 0 else (1, 0, 2)
+        us, bonded = sm(ref.model, us, ref.mats, ref.dt, ref.hs, ref.order,
+                        ref.borders, ref.contacts, bonded, axes, ref.ncmaps)
+        for name, node, comp, amps in ref._srcs:
+            us = dict(us)
+            us[name] = us[name].at[(comp,) + node].add(amps[n])
+    for k in res.bodies:
+        w = np.asarray(us[k])
+        scale = np.abs(w).max() + 1e-30
+        assert np.abs(res.bodies[k] - w).max() / scale < 2e-5
+    for ci in res.bonded:
+        np.testing.assert_array_equal(res.bonded[ci],
+                                      np.asarray(bonded[ci]))
+
+
 def test_canonical_hint_when_eligible(caplog, monkeypatch):
     """Eligible-but-unrequested canonical cases must surface a one-line
     perf hint instead of silently paying the fixup tax (VERDICT r4 weak

@@ -261,11 +261,14 @@ def test_shuffled_box_mesh_compresses_after_reorder():
     g_plain = SimplexGrid.from_cells(base.points, base.cells, reorder=None)
     g_reord = SimplexGrid.from_cells(pts_s, cells_s)      # default "lex"
     assert g_reord.node_order is not None
-    # the reorder must recover a lattice-local numbering
-    np.testing.assert_allclose(g_reord.points[:, 0],
-                               np.sort(g_reord.points[:, 0], kind="stable")
-                               [np.argsort(np.argsort(
-                                   g_reord.points[:, 0], kind="stable"))])
+    # the reorder must recover a lattice-local numbering: with jitter
+    # 0.1·h every node's x-plane is unambiguous (|dx| < h/2), and the
+    # lattice-snap lexsort makes the x-plane ids NON-DECREASING in grid
+    # order (the previous sort/argsort round-trip here was an identity
+    # for any array — code-review r5)
+    xbins = np.rint(g_reord.points[:, 0] * (n - 1)).astype(int)
+    assert (np.diff(xbins) >= 0).all()
+    assert len(np.unique(xbins)) == n
 
     rock = IsotropicMaterial.from_speeds(2500.0, 4000.0, 2300.0)
     rng2 = np.random.default_rng(4)

@@ -315,3 +315,59 @@ def test_simplex_multi_cadenced_snapshots_match_uninterrupted():
     for k in ref.bodies:
         np.testing.assert_allclose(res.bodies[k], ref.bodies[k],
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_checkpoint_node_numbering_fingerprint(tmp_path):
+    """A per-node checkpoint resumed onto a grid with a DIFFERENT node
+    numbering must fail loudly (from_cells' default locality reorder
+    renumbers imported meshes — code-review r5), while a matching grid
+    and pre-fingerprint checkpoints keep loading."""
+    import jax.numpy as jnp
+
+    from gcm_tpu.engine_simplex import SimplexEngine
+    from gcm_tpu.grids.simplex import SimplexGrid
+    from gcm_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    rock = IsotropicMaterial.from_speeds(2500.0, 4000.0, 2300.0)
+    n = 7
+    base = SimplexGrid.box((0, 0, 0), (1.0, 1.0, 1.0), (n, n, n),
+                           jitter=0.1)
+    rng = np.random.default_rng(5)
+    shuf = rng.permutation(base.npoints)
+    inv = np.empty(base.npoints, np.int64)
+    inv[shuf] = np.arange(base.npoints)
+
+    g_old = SimplexGrid.from_cells(base.points, base.cells, reorder=None)
+    # same mesh, genuinely different node numbering (reorder=None keeps
+    # the shuffled input order; the default lattice-snap reorder would
+    # reproduce g_old's numbering exactly — fingerprints then match,
+    # which is correct and is what the shuffled-box physics test covers)
+    g_new = SimplexGrid.from_cells(base.points[shuf], inv[base.cells],
+                                   reorder=None)
+    u0 = 0.01 * rng.standard_normal((9, base.npoints))
+
+    eng = SimplexEngine(g_old, "elastic3d", rock, u0=u0, dtype=jnp.float64)
+    eng.run(2)
+    state = eng.state_dict()
+    assert state["points_md5"] is not None
+    save_checkpoint(str(tmp_path / "ck"), 2, state)
+
+    # same numbering: round-trips (including through orbax)
+    eng_same = SimplexEngine(g_old, "elastic3d", rock, dtype=jnp.float64)
+    eng_same.load_state(
+        restore_checkpoint(str(tmp_path / "ck"), eng_same.state_dict()))
+    assert eng_same.start_step == 2
+
+    # renumbered grid: loud failure instead of silently-wrong fields
+    eng_re = SimplexEngine(g_new, "elastic3d", rock, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="node numbering"):
+        eng_re.load_state(
+            restore_checkpoint(str(tmp_path / "ck"), eng_re.state_dict()))
+
+    # pre-fingerprint checkpoint (no points_md5): still restorable
+    legacy = {k: v for k, v in state.items() if k != "points_md5"}
+    save_checkpoint(str(tmp_path / "ck_legacy"), 2, legacy)
+    eng_legacy = SimplexEngine(g_old, "elastic3d", rock, dtype=jnp.float64)
+    eng_legacy.load_state(restore_checkpoint(str(tmp_path / "ck_legacy"),
+                                             eng_legacy.state_dict()))
+    assert eng_legacy.start_step == 2

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -29,8 +28,14 @@ def main():
     from gcm_tpu.ops.pallas_simplex import (
         build_fused_simplex_plan, fused_simplex_step)
 
-    with open(f"/tmp/simplex_probe_setup_{n}.pkl", "rb") as f:
-        grid, tables, dt = pickle.load(f)
+    from simplex_setup_cache import load
+
+    rec = load(n)
+    if rec is None:
+        print(json.dumps({"error": "run simplex_fused_probe (or bench.py) "
+                                   "first to build the setup cache"}))
+        return
+    grid, tables, dt = rec
     N = grid.npoints
     model = get_model("elastic3d")
     mat = _material_fields(

@@ -26,8 +26,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gcm_tpu.engine_simplex import SimplexEngine
-    from gcm_tpu.grids.simplex import SimplexGrid
     from gcm_tpu.materials import IsotropicMaterial
     from gcm_tpu.ops.pallas_simplex import (
         build_fused_simplex_plan, fused_simplex_step)
@@ -36,46 +34,13 @@ def main():
     t0 = time.time()
     rng = np.random.default_rng(0)
     mat = IsotropicMaterial.from_speeds(rho=2500.0, cp=4000.0, cs=2300.0)
-    # the 65^3 table build costs ~14 min host-side; cache it so tunnel
-    # retries don't pay it again (host-side setup artifact only)
-    import pickle
+    # the 65^3 table build costs ~14 min host-side; /tmp-cached (format
+    # owned by simplex_setup_cache.py, shared with bench.py)
+    from simplex_setup_cache import engine_from_parts, load_or_build
 
-    CACHE_V = "r5a"     # keep in sync with bench.py _SIMPLEX_CACHE_V
-    cache = f"/tmp/simplex_probe_setup_{n}.pkl"
-    rec = None
-    if os.path.exists(cache):
-        with open(cache, "rb") as f:
-            rec = pickle.load(f)
-        if not (isinstance(rec, tuple) and len(rec) == 4
-                and rec[0] == CACHE_V):
-            rec = None
-    if rec is not None:
-        _, grid, tables, dt = rec
-        u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(
-            np.float32)
-        eng = SimplexEngine.__new__(SimplexEngine)
-        from gcm_tpu.engine_simplex import _material_fields
-        from gcm_tpu.models.spec import get_model
-
-        eng.model = get_model("elastic3d")
-        eng.mat = _material_fields(mat, grid.npoints, jnp.float32)
-        eng.tables = tables
-        eng.dt = dt
-        eng.border_kind = "absorbing"
-        eng.u = jnp.asarray(u0)
-        eng.stencil_compressed = {str(k): t.stencil is not None
-                                  for k, t in tables.items()}
-    else:
-        grid = SimplexGrid.box((0, 0, 0), (1.0, 1.0, 1.0), (n, n, n),
-                               jitter=0.15)
-        u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(
-            np.float32)
-        eng = SimplexEngine(grid, "elastic3d", mat, cfl=0.8, u0=u0,
-                            dtype=jnp.float32, kernel="jnp")
-        with open(cache, "wb") as f:
-            pickle.dump((CACHE_V,
-                         SimplexGrid(points=grid.points, cells=grid.cells),
-                         eng.tables, eng.dt), f)
+    grid, tables, dt = load_or_build(n, mat)
+    u0 = 0.01 * rng.standard_normal((9, grid.npoints)).astype(np.float32)
+    eng = engine_from_parts(mat, grid, tables, dt, u0)
     print(json.dumps({"setup_s": round(time.time() - t0, 1),
                       "npoints": int(grid.npoints),
                       "compressed": all(eng.stencil_compressed.values())}),

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -34,12 +33,14 @@ def main():
     from gcm_tpu.ops.pallas_simplex import (
         build_fused_simplex_plan, fused_simplex_step)
 
-    cache = f"/tmp/simplex_probe_setup_{n}.pkl"
-    if not os.path.exists(cache):
-        print(json.dumps({"error": "run simplex_fused_probe first"}))
+    from simplex_setup_cache import load
+
+    rec = load(n)
+    if rec is None:
+        print(json.dumps({"error": "run simplex_fused_probe (or bench.py) "
+                                   "first to build the setup cache"}))
         return
-    with open(cache, "rb") as f:
-        grid, tables, dt = pickle.load(f)
+    grid, tables, dt = rec
     N = grid.npoints
     model = get_model("elastic3d")
     mat = _material_fields(

@@ -300,11 +300,14 @@ def _corrector_epilogue(model: Model, specs, comps, aux_in, dt: float):
             for i in diag[1:]:
                 smax = jnp.maximum(smax, comps[i])
             over = jnp.maximum(smax - thr, 0.0) / thr
-            d = jnp.clip(d + rate * over * dt, 0.0, 1.0)
-            factor = 1.0 - d
+            d_new = jnp.clip(d + rate * over * dt, 0.0, 1.0)
+            # incremental degradation — must mirror DamageCorrector
+            # exactly (code-review r5)
+            factor = jnp.minimum(
+                (1.0 - d_new) / jnp.maximum(1.0 - d, 1e-12), 1.0)
             for i in diag + shear:
                 comps[i] = comps[i] * factor
-            aux_out.append(d)
+            aux_out.append(d_new)
     return comps, aux_out
 
 

@@ -609,6 +609,15 @@ def make_fused_spmd_step(
         C, nxl, nyl, nz = u.shape
         bx_ = _pick_tile(nxl, bx, 1)
         by_ = _pick_tile(nyl, by, 8 if nyl % 8 == 0 else 1)
+        if bx_ < r or by_ < r:
+            # same clamped-DMA exposure fused_step guards against
+            # (advisor r4): a non-edge tile smaller than the stencil
+            # radius reads out-of-bounds HBM offsets; the spmd path
+            # previously proceeded silently (code-review r5)
+            raise ValueError(
+                f"fused spmd step: per-shard tile ({bx_},{by_}) smaller "
+                f"than stencil radius {r} (per-shard extents "
+                f"{nxl}x{nyl}); use larger shards or the per-sweep path")
         ntx, nty = nxl // bx_, nyl // by_
 
         xlo, xhi, ylo, yhi = exchange_slabs(u, names, r)
@@ -652,6 +661,10 @@ def make_fused_spmd_step(
         axes = tuple(axes) if axes is not None else (0, 1, 2)
         if axes not in ((0, 1, 2), (2, 1, 0)):
             raise ValueError(f"unsupported axes order {axes}")
+        if naux and aux is None:
+            # mirror the single-chip fused_step validation instead of an
+            # opaque TypeError deep inside tracing (code-review r5)
+            raise ValueError("damage correctors need the aux array")
         key = (axes, aux is not None)
         fn = _cache.get(key)
         if fn is None:
@@ -882,6 +895,10 @@ def make_fused_spmd_step_2d(
         if nxl % 8:
             raise ValueError(f"per-shard nx={nxl} must be 8-aligned")
         bx_ = _pick_tile(nxl, bx, 8)
+        if bx_ < r:
+            raise ValueError(
+                f"fused 2D spmd step: per-shard tile {bx_} smaller than "
+                f"stencil radius {r} (per-shard nx={nxl})")
         ntx = nxl // bx_
 
         xlo, xhi = _exchange_axis(u, name, 1, H2)

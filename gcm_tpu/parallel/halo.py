@@ -86,19 +86,26 @@ def _crop(f: jnp.ndarray, ax: int, r: int):
 
 
 def _spatial_names(model_dim: int, mesh: Mesh) -> Dict[int, Optional[str]]:
+    """Mesh-axis name per spatial dim ('sx' on dim 0, 'sy' on dim 1 in 3D;
+    the lane dim is never sharded). Tolerates meshes without 'sx' — e.g.
+    the canonical+sharded ('sy',)-mesh (sharding._spatial_spec supports
+    it; hard-coding 'sx' here produced confusing shard_map spec errors,
+    code-review r5)."""
     names: Dict[int, Optional[str]] = {a: None for a in range(model_dim)}
-    names[0] = "sx"
+    if "sx" in mesh.axis_names:
+        names[0] = "sx"
     if model_dim >= 3 and "sy" in mesh.axis_names:
         names[1] = "sy"
+    if not any(names.values()):
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} carry no spatial axis this "
+            "module shards ('sx' on dim 0; 'sy' on dim 1 in 3D)")
     return names
 
 
 def _mat_spec(model_dim: int, mesh: Mesh) -> P:
-    spatial = [None] * model_dim
-    spatial[0] = "sx"
-    if model_dim >= 3 and "sy" in mesh.axis_names:
-        spatial[1] = "sy"
-    return P(*spatial)
+    names = _spatial_names(model_dim, mesh)
+    return P(*[names[a] for a in range(model_dim)])
 
 
 def extend_mats_once(mat, mesh: Mesh, model_dim: int, order: int) -> Dict:

@@ -27,11 +27,16 @@ def initialize(coordinator: Optional[str] = None,
     import jax
 
     explicit = coordinator is not None
-    autodetect = any(
-        v in os.environ
-        for v in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
-                  "TPU_WORKER_HOSTNAMES")
-    ) and os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") != "localhost"
+    # COORDINATOR_ADDRESS / MEGASCALE_COORDINATOR_ADDRESS are sufficient
+    # triggers on their own; the localhost guard applies only to the
+    # TPU_WORKER_HOSTNAMES trigger (AND-combining it with the other two
+    # made them dead code — a launch that set only COORDINATOR_ADDRESS
+    # silently never spanned hosts; code-review r5)
+    autodetect = (
+        "COORDINATOR_ADDRESS" in os.environ
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+        or os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") != "localhost"
+    )
 
     if not explicit and not autodetect:
         return False

@@ -216,6 +216,7 @@ def apply_contact(
     view_a,
     view_b,
     bonded: Optional[jnp.ndarray],
+    normal_axis: Optional[int] = None,
 ) -> Tuple[Dict[int, tuple], Dict[int, tuple], Optional[jnp.ndarray]]:
     """Apply one contact's interface solves to both bodies' invariants.
 
@@ -224,19 +225,26 @@ def apply_contact(
     solved first (its sigma* feeds the unilateral/friction/fracture
     logic of the tangential pairs), then each tangential pair.  Returns the
     updated dicts and the new bonded mask (or None).
+
+    ``normal_axis``: the PHYSICAL axis of the sweep's stage (st.axis) —
+    pair ``traction_axis`` labels are physical, so under a permuted
+    (canonical) layout comparing them against the ARRAY axis
+    ``spec.axis`` would flag a shear pair as the interface normal
+    (code-review r5). Defaults to ``spec.axis`` (identical layouts).
     """
     ax = spec.axis
-    _require_normal_pair(spec, [pairs_a[k][2] for k in pairs_a], ax)
+    nax = normal_axis if normal_axis is not None else ax
+    _require_normal_pair(spec, [pairs_a[k][2] for k in pairs_a], nax)
     idx_a = face_sub_index(ax, 1, dim, spec.lo_a, spec.span)
     idx_b = face_sub_index(ax, 0, dim, spec.lo_b, spec.span)
 
     glue = (bonded > 0.5) if bonded is not None else None
     s_star_n = None
     sigma_c = None
-    order_ks = _split_normal(pairs_a, ax)
+    order_ks = _split_normal(pairs_a, nax)
 
     for k in order_ks:
-        is_normal = pairs_a[k][2].traction_axis == ax
+        is_normal = pairs_a[k][2].traction_axis == nax
         w_l_a, w_r_a, p = pairs_a[k]
         w_l_b, w_r_b, pb = pairs_b[k]
         in_a, in_b, s_star = _pair_incoming(
@@ -280,7 +288,13 @@ def apply_contact_post(
     ax = spec.axis
     dim = model.dim
     st = model.stage(ax)
-    _require_normal_pair(spec, st.pairs, ax)
+    # normal identification is by PHYSICAL axis: under a permuted
+    # (canonical) model, stage(ax).axis is the physical sweep axis and
+    # pair traction_axis labels are physical — comparing against the
+    # array axis ``ax`` would pick a shear pair as the normal
+    # (code-review r5)
+    nax = st.axis
+    _require_normal_pair(spec, st.pairs, nax)
     sign = model.sign
     ax_idx = idx_axis if idx_axis is not None else ax
     idx_a = face_sub_index(ax_idx, 1, dim, spec.lo_a, spec.span)
@@ -293,9 +307,9 @@ def apply_contact_post(
     sigma_fixed_b: Dict[int, jnp.ndarray] = {}
     pairs = {k: (None, None, p) for k, p in enumerate(st.pairs)}
 
-    for k in _split_normal(pairs, ax):
+    for k in _split_normal(pairs, nax):
         p = st.pairs[k]
-        is_normal = p.traction_axis == ax
+        is_normal = p.traction_axis == nax
         z_a = view_a.pair_z[k][idx_a]
         z_b = view_b.pair_z[k][idx_b]
         A_a, B_a = u_a[p.sigma][idx_a], u_a[p.vel][idx_a]

@@ -178,7 +178,7 @@ def init_bonded_nc(maps: InterfaceMaps, dtype=jnp.float32) -> Dict:
 
 
 def _solve_side(spec: ContactSpec, model, u_old, u_new, view, axis_side,
-                sub_idx, full_idx, out_other_full, z_other_full, maps_side,
+                sub_idx, out_other_full, z_other_full, maps_side,
                 glue):
     """Interface solve at ONE side's overlap nodes.
 
@@ -190,15 +190,17 @@ def _solve_side(spec: ContactSpec, model, u_old, u_new, view, axis_side,
     """
     ax = spec.axis
     st = model.stage(ax)
+    # physical-axis normal identification (see contact.apply_contact_post)
+    nax = st.axis
     sign = model.sign
     s_star_n = None
     sigma_c = None
     sigma_fixed: Dict[int, jnp.ndarray] = {}
     pairs = {k: (None, None, p) for k, p in enumerate(st.pairs)}
 
-    for k in _split_normal(pairs, ax):
+    for k in _split_normal(pairs, nax):
         p = st.pairs[k]
-        is_normal = p.traction_axis == ax
+        is_normal = p.traction_axis == nax
         z_own = view.pair_z[k][sub_idx]
         A = u_new[p.sigma][sub_idx]
         B = u_new[p.vel][sub_idx]
@@ -261,7 +263,7 @@ def apply_contact_nc_post(
     ax = spec.axis
     dim = model.dim
     st = model.stage(ax)
-    _require_normal_pair(spec, st.pairs, ax)
+    _require_normal_pair(spec, st.pairs, st.axis)
     sign = model.sign
 
     sub_a = face_sub_index(ax, 1, dim, maps.a.lo, maps.a.span)
@@ -287,10 +289,10 @@ def apply_contact_nc_post(
     glue_b = (bonded["b"] > 0.5) if bonded is not None else None
 
     u_a, s_n_a = _solve_side(
-        spec, model, u_old_a, u_a, view_a, +1, sub_a, full_a,
+        spec, model, u_old_a, u_a, view_a, +1, sub_a,
         out_b_full, z_b_full, maps.a, glue_a)
     u_b, s_n_b = _solve_side(
-        spec, model, u_old_b, u_b, view_b, -1, sub_b, full_b,
+        spec, model, u_old_b, u_b, view_b, -1, sub_b,
         out_a_full, z_a_full, maps.b, glue_b)
 
     new_bonded = bonded

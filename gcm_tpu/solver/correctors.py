@@ -63,7 +63,14 @@ class MaxwellCorrector:
 class DamageCorrector:
     """Continual damage: a per-node scalar d in [0, 1] grows where the
     maximum tensile normal stress exceeds a threshold, and degrades the
-    stress the node can carry (sigma *= 1 - d). Irreversible.
+    stress the node can carry: the carried stress tracks ``(1 - d)``
+    times the undamaged evolution, applied INCREMENTALLY per step
+    (sigma *= (1-d_new)/(1-d_old)). Irreversible.
+
+    The incremental form matters: multiplying the evolving stress by the
+    full ``(1-d)`` every step would compound — a node frozen at d=0.5
+    would lose half its stress per STEP, a dt-dependent decay that does
+    not converge under time refinement (code-review r5).
 
     d_t = rate * max(0, max_diag_stress - threshold) / threshold
     """
@@ -82,10 +89,14 @@ class DamageCorrector:
         d = aux["damage"]
         smax = jnp.stack([u[i] for i in diag]).max(axis=0)
         over = jnp.maximum(smax - self.threshold, 0.0) / self.threshold
-        d = jnp.clip(d + self.rate * over * dt, 0.0, 1.0)
-        factor = (1.0 - d).astype(u.dtype)
+        d_new = jnp.clip(d + self.rate * over * dt, 0.0, 1.0)
+        # incremental: cumulative scaling is (1 - d) vs the undamaged
+        # stress; fully-damaged nodes (d==1) stay at zero stress
+        factor = jnp.minimum(
+            (1.0 - d_new) / jnp.maximum(1.0 - d, 1e-12), 1.0
+        ).astype(u.dtype)
         for i in diag + shear:
             u = u.at[i].set(u[i] * factor)
         aux = dict(aux)
-        aux["damage"] = d
+        aux["damage"] = d_new
         return u, aux

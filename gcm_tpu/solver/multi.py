@@ -99,6 +99,7 @@ def stage_multi(
         pa, pb, nb = apply_contact(
             c, model.dim, pair_ws[c.body_a], pair_ws[c.body_b],
             views[c.body_a], views[c.body_b], bonded.get(ci),
+            normal_axis=st.axis,
         )
         pair_ws[c.body_a] = pa
         pair_ws[c.body_b] = pb

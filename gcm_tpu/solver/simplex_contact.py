@@ -30,6 +30,7 @@ import numpy as np
 from gcm_tpu.grids.simplex import SimplexGrid
 from gcm_tpu.solver.contact import (
     CONTACT_KINDS, _fracture, _pair_incoming, _require_normal_pair,
+    _split_normal,
 )
 
 
@@ -109,12 +110,14 @@ def apply_simplex_contact_post(
     """
     ax = spec.axis
     st = model.stage(ax)
-    _require_normal_pair(spec, st.pairs, ax)
+    # physical-axis normal identification via the shared helper (see
+    # contact._split_normal / apply_contact_post — code-review r5)
+    nax = st.axis
+    _require_normal_pair(spec, st.pairs, nax)
     sign = model.sign
 
-    keys = list(range(len(st.pairs)))
-    normal_k = [k for k in keys if st.pairs[k].traction_axis == ax]
-    order_ks = normal_k + [k for k in keys if k not in normal_k]
+    pairs_d = {k: (None, None, p) for k, p in enumerate(st.pairs)}
+    order_ks = _split_normal(pairs_d, nax)
 
     glue = (bonded > 0.5) if bonded is not None else None
     s_star_n = None
@@ -124,7 +127,7 @@ def apply_simplex_contact_post(
 
     for k in order_ks:
         p = st.pairs[k]
-        is_normal = p.traction_axis == ax
+        is_normal = p.traction_axis == nax
         z_a = view_a.pair_z[k][idx_a]
         z_b = view_b.pair_z[k][idx_b]
         A_a, B_a = u_a[p.sigma][idx_a], u_a[p.vel][idx_a]
@@ -311,7 +314,8 @@ def apply_simplex_contact_nc_post(
     solver.contact_nc.apply_contact_nc_post)."""
     ax = spec.axis
     st = model.stage(ax)
-    _require_normal_pair(spec, st.pairs, ax)
+    nax = st.axis      # physical-axis normal identification (review r5)
+    _require_normal_pair(spec, st.pairs, nax)
     sign = model.sign
     idx_a = jnp.asarray(maps.idx_a)
     idx_b = jnp.asarray(maps.idx_b)
@@ -323,9 +327,8 @@ def apply_simplex_contact_nc_post(
     glue_a = (bonded["a"] > 0.5) if bonded is not None else None
     glue_b = (bonded["b"] > 0.5) if bonded is not None else None
 
-    keys = list(range(len(st.pairs)))
-    normal_k = [k for k in keys if st.pairs[k].traction_axis == ax]
-    order_ks = normal_k + [k for k in keys if k not in normal_k]
+    pairs_d = {k: (None, None, p) for k, p in enumerate(st.pairs)}
+    order_ks = _split_normal(pairs_d, nax)
 
     s_n = {"a": None, "b": None}
     sigma_c = {"a": None, "b": None}
@@ -334,7 +337,7 @@ def apply_simplex_contact_nc_post(
 
     for k in order_ks:
         p = st.pairs[k]
-        is_normal = p.traction_axis == ax
+        is_normal = p.traction_axis == nax
         z_a = view_a.pair_z[k][idx_a]
         z_b = view_b.pair_z[k][idx_b]
         out_a = u_a[p.sigma][idx_a] - sign * z_a * u_a[p.vel][idx_a]

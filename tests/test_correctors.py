@@ -73,3 +73,37 @@ def test_engine_with_correctors_runs():
     task0 = get_scenario("elastic2d_ps", n=32, nsteps=20)
     res0 = Engine(task0).run()
     assert np.abs(res.u[2:]).max() < np.abs(res0.u[2:]).max()
+
+
+def test_damage_does_not_compound_when_frozen():
+    """A node whose damage has stopped growing (stress below threshold)
+    must KEEP its stress: degradation is incremental —
+    sigma *= (1-d_new)/(1-d_old) — so the cumulative scaling is (1-d)
+    versus the undamaged evolution, not (1-d)^nsteps (code-review r5:
+    the compounding form decayed partially-damaged nodes to zero at a
+    dt-dependent rate)."""
+    model = get_model("elastic2d")
+    u = jnp.zeros((5, 2, 2))
+    u = u.at[2, 0, 0].set(10.0)
+    u = u.at[3, 0, 0].set(4.0)     # shear rides along
+    corr = DamageCorrector(threshold=1.0, rate=1.0)
+    aux = corr.init_aux(model, (2, 2))
+    # one damaging step
+    u1, aux = corr(model, u, aux, dt=0.05)
+    d1 = float(np.asarray(aux["damage"])[0, 0])
+    assert 0.0 < d1 < 1.0
+    np.testing.assert_allclose(float(u1[2, 0, 0]), 10.0 * (1 - d1),
+                               rtol=1e-6)
+    # drop the stress below threshold so d freezes; repeated steps must
+    # now be identity on the stress
+    u_low = u1.at[2, 0, 0].set(0.5).at[3, 0, 0].set(0.2)
+    out = u_low
+    for _ in range(5):
+        out, aux = corr(model, out, aux, dt=0.05)
+    assert float(np.asarray(aux["damage"])[0, 0]) == pytest.approx(d1)
+    np.testing.assert_allclose(float(out[2, 0, 0]), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(out[3, 0, 0]), 0.2, rtol=1e-6)
+    # fully-damaged nodes carry zero stress and stay there
+    aux_full = {"damage": jnp.ones((2, 2), jnp.float32)}
+    out_full, aux_full = corr(model, u, aux_full, dt=0.05)
+    assert float(out_full[2, 0, 0]) == 0.0

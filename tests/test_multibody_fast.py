@@ -617,3 +617,54 @@ def test_canonical_conformity_uses_original_axes(monkeypatch):
     eng_nc = MultiBodyEngine(bodies_nc, contacts_nc, canonical_layout=True)
     assert eng_nc._perm is None, "non-conforming must refuse canonical"
     assert 0 in eng_nc.ncmaps
+
+
+@pytest.mark.parametrize("kind,mu", [("slip", 0.0), ("friction", 0.4)])
+def test_canonical_layout_slip_friction_contact(kind, mu, monkeypatch):
+    """Slip/friction contacts under the canonical permuted layout: the
+    interface normal must be identified by the PHYSICAL stage axis, not
+    the permuted array axis — the array-axis comparison flagged a shear
+    pair as the normal (transmitting shear, freeing the normal pair;
+    feeding the Coulomb cap a shear traction) while all-pair-symmetric
+    bonded contacts hid it (code-review r5)."""
+    import jax
+
+    import gcm_tpu.ops.pallas_fused as pf
+    from gcm_tpu.solver.multi import step_multi as sm
+
+    orig = pf.pl.pallas_call
+
+    def wrapped(*a, _orig=orig, **k):
+        k.setdefault("interpret", True)
+        return _orig(*a, **k)
+
+    monkeypatch.setattr(pf.pl, "pallas_call", wrapped)
+
+    # enough steps for the explosion to actually cross the interface —
+    # at 4 steps the transmitted field is ~0 and any normal/shear mixup
+    # trivially "agrees" (mutation-checked at 10)
+    bodies, base_contacts = elastic3d_contact(n=12, nsteps=10)
+    contacts = tuple(
+        dataclasses.replace(c, kind=kind, friction_mu=mu,
+                            tensile_strength=None, broken_kind="free")
+        for c in base_contacts)
+    bodies_f = {k: dataclasses.replace(t, kernel="pallas_fused")
+                for k, t in bodies.items()}
+    eng = MultiBodyEngine(bodies_f, contacts, canonical_layout=True)
+    assert eng._perm == (2, 0, 1)
+    assert eng._fused_multi is not None
+    res = eng.run()
+
+    ref = MultiBodyEngine(bodies, contacts)      # jnp engine for setup
+    us, bonded = dict(ref.us), dict(ref.bonded)
+    for n in range(ref.nsteps):
+        axes = (2, 0, 1) if n % 2 == 0 else (1, 0, 2)
+        us, bonded = sm(ref.model, us, ref.mats, ref.dt, ref.hs, ref.order,
+                        ref.borders, ref.contacts, bonded, axes, ref.ncmaps)
+        for name, node, comp, amps in ref._srcs:
+            us = dict(us)
+            us[name] = us[name].at[(comp,) + node].add(amps[n])
+    for k in res.bodies:
+        w = np.asarray(us[k])
+        scale = np.abs(w).max() + 1e-30
+        assert np.abs(res.bodies[k] - w).max() / scale < 2e-5

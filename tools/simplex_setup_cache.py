@@ -39,10 +39,15 @@ def load(n: int):
 def save(n: int, grid, tables, dt: float) -> None:
     from gcm_tpu.grids.simplex import SimplexGrid
 
-    with open(cache_path(n), "wb") as f:
+    # atomic publish: concurrent readers (bench workers racing a
+    # prebuild) must never see a partially-written pickle
+    path = cache_path(n)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         pickle.dump(
             (CACHE_V, SimplexGrid(points=grid.points, cells=grid.cells),
              tables, dt), f)
+    os.replace(tmp, path)
 
 
 def load_or_build(n: int, mat, jitter: float = 0.15):

@@ -454,9 +454,25 @@ def _run_path_with_retry(path: str, shape):
     return (rec["t_step"] if rec else None), err, rec
 
 
-def main():
-    shape = SHAPE
+def main(shape=None, only=None):
+    """Full benchmark (default), or a single path when ``only`` is one of
+    "jnp"/"pallas"/"fused" — the CLI's --shape/--path used to be parsed
+    and silently ignored (code-review r5)."""
+    shape = tuple(shape) if shape is not None else SHAPE
     npoints = int(np.prod(shape))
+
+    if only is not None:
+        t, err, rec = _run_path_with_retry(only, shape)
+        print(json.dumps({
+            "metric": "grid-points/s/chip (3D elastic GCM step)",
+            "value": (npoints / t) if t else 0.0,
+            "unit": "points/s", "vs_baseline": 1.0, "path": only,
+            "shape": list(shape),
+            **({"error": err} if err else {}),
+            **({"spread": rec["spread"]} if rec and "spread" in rec
+               else {}),
+        }))
+        return
 
     t_jnp, err_jnp, rec_jnp = _run_path_with_retry("jnp", shape)
     t_pal, err_pal, rec_pal = _run_path_with_retry("pallas", shape)

@@ -35,7 +35,8 @@ def _build_parser():
     r.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace into <outdir>/trace")
     r.add_argument("--kernel", default=None,
-                   choices=["auto", "jnp", "pallas", "pallas_fused"],
+                   choices=["auto", "jnp", "pallas", "pallas_fused",
+                            "pallas_simplex"],
                    help="compute path (default: task's, usually 'auto' = "
                         "fused Pallas on TPU, jnp elsewhere)")
     r.add_argument("--mesh", default=None, metavar="NX[,NY]",
@@ -59,7 +60,8 @@ def _build_parser():
 
     b = sub.add_parser("bench", help="single-chip step benchmark")
     b.add_argument("--shape", default="256,256,128")
-    b.add_argument("--path", default="best", choices=["jnp", "pallas", "best"])
+    b.add_argument("--path", default="best",
+                   choices=["jnp", "pallas", "fused", "best"])
     return p
 
 
@@ -76,9 +78,18 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "bench":
-        import bench  # repo-root bench.py
+        import os
+        import sys
 
-        bench.main()
+        # bench.py lives at the repo root, next to the package dir
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        import bench
+
+        shape = tuple(int(x) for x in args.shape.split(","))
+        bench.main(shape=shape,
+                   only=None if args.path == "best" else args.path)
         return 0
 
     # run
@@ -192,29 +203,71 @@ def _run_contact(args, kw) -> int:
     # layout
     canon = (args.canonical_layout
              if args.canonical_layout is not None else True)
-    eng = MultiBodyEngine(bodies, contacts, canonical_layout=canon)
-    cb = None
-    if args.snapshot_every:
-        import os
+    mesh = None
+    if args.mesh:
+        # --mesh used to be silently ignored for contact scenarios
+        # (code-review r5); MultiBodyEngine supports mesh= directly
+        import jax as _jax
 
+        from gcm_tpu.parallel.sharding import domain_mesh
+
+        mshape = tuple(int(x) for x in args.mesh.split(","))
+        ndev = int(np.prod(mshape))
+        mesh = domain_mesh(3, devices=_jax.devices()[:ndev],
+                           shape=mshape if len(mshape) > 1 else None)
+    eng = MultiBodyEngine(bodies, contacts, canonical_layout=canon,
+                          mesh=mesh)
+    import os
+
+    ckdir = os.path.join(args.outdir, "checkpoints")
+    if args.resume:
+        from gcm_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        if latest_step(ckdir) is not None:
+            eng.load_state(restore_checkpoint(ckdir, eng.state_dict()))
+            import sys as _sys
+
+            print(f"resumed from step {eng.start_step}", file=_sys.stderr)
+
+    # snapshot and checkpoint cadences are independent (code-review r5:
+    # --checkpoint-every used to be silently ignored here); the engine
+    # callback fires at their gcd, each artifact keeps its own check
+    import math
+
+    period = 2 if eng.symmetrize else 1
+    rnd = lambda c: -(-c // period) * period if c else 0
+    snap_every = rnd(args.snapshot_every or 0)
+    ck_every = rnd(args.checkpoint_every or 0)
+    cadences = [c for c in (snap_every, ck_every) if c]
+    cb = None
+    series = {}
+    if cadences:
         from gcm_tpu.snapshot.vtk import (
             snapshot_fields, write_pvd, write_vti)
 
         snapdir = os.path.join(args.outdir, "snapshots")
-        os.makedirs(snapdir, exist_ok=True)
+        if snap_every:
+            os.makedirs(snapdir, exist_ok=True)
         series = {name: [] for name in bodies}
 
         def cb(step, us):
-            for name, u in us.items():
-                task = bodies[name]
-                fname = f"{name}_{step:06d}.vti"
-                write_vti(os.path.join(snapdir, fname), task.grid.shape,
-                          task.grid.h, task.grid.origin,
-                          snapshot_fields(eng.model, u))
-                series[name].append((step * eng.dt, fname))
+            if snap_every and step % snap_every == 0:
+                for name, u in us.items():
+                    task = bodies[name]
+                    fname = f"{name}_{step:06d}.vti"
+                    write_vti(os.path.join(snapdir, fname),
+                              task.grid.shape,
+                              task.grid.h, task.grid.origin,
+                              snapshot_fields(eng.model, u))
+                    series[name].append((step * eng.dt, fname))
+            if ck_every and step % ck_every == 0:
+                from gcm_tpu.utils.checkpoint import save_checkpoint
 
-    res = eng.run(snapshot_cb=cb, snapshot_every=args.snapshot_every or 0)
-    if cb is not None:
+                save_checkpoint(ckdir, step, eng.state_dict())
+
+    res = eng.run(snapshot_cb=cb,
+                  snapshot_every=math.gcd(*cadences) if cadences else 0)
+    if any(series.values()):
         for name, entries in series.items():
             write_pvd(os.path.join(snapdir, f"{name}.pvd"), entries)
     eng.write_snapshots(args.outdir)
@@ -273,6 +326,20 @@ def _run_simplex(args, kw) -> int:
         if args.snapshot_every is not None:
             obj = dataclasses.replace(
                 obj, snapshots=SnapshotSpec(every=args.snapshot_every))
+        if args.kernel is not None:
+            # --kernel used to be silently ignored on simplex scenarios
+            # (code-review r5); "pallas"/"pallas_fused" have no simplex
+            # meaning — map them to the fused simplex kernel
+            k = args.kernel
+            if k in ("pallas", "pallas_fused"):
+                k = "pallas_simplex"
+            obj = dataclasses.replace(obj, kernel=k)
+        if args.mesh:
+            import sys as _sys
+
+            print("note: --mesh is not supported on simplex scenarios "
+                  "(single-device unstructured sweeps); ignoring",
+                  file=_sys.stderr)
         eng = SimplexEngine.from_task(obj)
         if args.resume:
             from gcm_tpu.utils.checkpoint import (

@@ -315,7 +315,11 @@ class Engine:
             node = self._pnode(task.grid.index_of(src.position))
             for cname in src.components:
                 self._src_idx.append((node, self.model.comp(cname)))
-                amps.append(src.wavelet(times) * self.dt)
+                # scalar-returning wavelet fns (constant sources) must
+                # broadcast like the simplex engines do (code-review r5)
+                amps.append(np.broadcast_to(
+                    np.asarray(src.wavelet(times), np.float64),
+                    times.shape) * self.dt)
         self._src_amps = (
             jnp.asarray(np.asarray(amps, dtype=np.float64).T, dtype=dtype)
             if amps else jnp.zeros((self.nsteps, 0), dtype=dtype)
@@ -335,6 +339,11 @@ class Engine:
         #: first step index run() will execute (set by load_state on resume)
         self.start_step: int = 0
         self._done_step: int = 0
+        #: detector-trace chunks accumulated so far (checkpointed, so a
+        #: resumed run's seismogram covers the FULL record — code-review
+        #: r5: resume used to silently overwrite the seismogram files
+        #: with only the post-resume steps)
+        self._trace_chunks: List[np.ndarray] = []
 
         self._scan_fn = None
 
@@ -343,10 +352,15 @@ class Engine:
     def state_dict(self) -> Dict:
         """Full restartable state: fields, corrector aux, completed steps
         (always in TASK layout, independent of canonical storage)."""
-        return {"u": self._unpermute_u(self.u),
-                "aux": {k: self._unpermute_s(v)
-                        for k, v in self.aux.items()},
-                "step": self._done_step}
+        d = {"u": self._unpermute_u(self.u),
+             "aux": {k: self._unpermute_s(v)
+                     for k, v in self.aux.items()},
+             "step": self._done_step}
+        if self._det_idx is not None:
+            tr = self._assemble_traces()
+            d["traces"] = tr if tr is not None else np.zeros(
+                (0, len(self._det_idx), self.model.ncomp), np.float32)
+        return d
 
     def load_state(self, state: Dict) -> None:
         """Restore a ``state_dict`` checkpoint; ``run()`` then executes only
@@ -356,6 +370,9 @@ class Engine:
         self.aux = {k: self._permute_s(jnp.asarray(v))
                     for k, v in dict(state["aux"]).items()}
         self.start_step = self._done_step = int(np.asarray(state["step"]))
+        tr = state.get("traces")
+        self._trace_chunks = (
+            [np.asarray(tr)] if tr is not None and np.size(tr) else [])
 
     # -------------------------------------------------- layout helpers
 
@@ -523,22 +540,45 @@ class Engine:
 
         return scan_steps, period
 
+    def _assemble_traces(self) -> Optional[np.ndarray]:
+        """Concatenate the accumulated detector-trace chunks (full record,
+        including restored pre-resume chunks) or None without detectors."""
+        if self._det_idx is None or not self._trace_chunks:
+            return None
+        ncomp = self.model.ncomp
+        return np.concatenate(
+            [np.asarray(t).reshape(-1, len(self._det_idx), ncomp)
+             for t in self._trace_chunks], axis=0)
+
     # ------------------------------------------------------------------ run
 
-    def run(self, snapshot_cb: Optional[Callable[[int, np.ndarray], None]] = None
-            ) -> RunResult:
+    def run(self, snapshot_cb: Optional[Callable[[int, np.ndarray], None]] = None,
+            cb_every: Optional[int] = None) -> RunResult:
         """Run the remaining steps (``start_step`` .. ``nsteps``); optionally
         call ``snapshot_cb(step, u)`` at the task's snapshot cadence
-        (host-side, outside jit)."""
-        scan_steps, period = self._build_scan()
+        (host-side, outside jit). ``cb_every`` overrides the cadence —
+        run_with_outputs uses it to interleave snapshot AND checkpoint
+        cadences (code-review r5: checkpoints used to exist only inside
+        the snapshot callback)."""
+        if self._scan_fn is None:
+            # cache across run() calls: a fresh jax.jit wrapper per call
+            # would retrace+recompile the whole step program every time
+            # (code-review r5)
+            self._scan_fn = self._build_scan()
+        scan_steps, period = self._scan_fn
         nsteps = self.nsteps
         start = int(self.start_step)
-        every = self.task.snapshots.every
+        every = cb_every if cb_every is not None \
+            else self.task.snapshots.every
         nsrc = self._src_amps.shape[1]
 
         u = self.u
         aux = self.aux
-        traces = []
+        if start == 0:
+            self._trace_chunks = []      # fresh run: discard stale chunks
+        # alias: appends are visible to state_dict() from checkpoint
+        # callbacks mid-run, and a resumed run extends the restored record
+        traces = self._trace_chunks = list(self._trace_chunks)
         t0 = _time.perf_counter()
         done = start
 
@@ -554,9 +594,14 @@ class Engine:
             done += 1
         nfull_end = done + ((nsteps - done) // period) * period
         chunk = every if (snapshot_cb and every) else max(nfull_end - done, period)
-        chunk = max(period, (chunk // period) * period)
+        # round UP to the symmetrization period (the documented cadence
+        # convention — every=5 fires every 6 steps, never every 4; the
+        # multi-body engines already did this, code-review r5)
+        chunk = max(period, -(-chunk // period) * period)
         while done < nfull_end:
-            take = min(chunk, nfull_end - done) // period
+            # land on multiples of ``chunk`` even when a resume starts
+            # mid-grid, so the callback's exact step%cadence checks hit
+            take = min(chunk - done % chunk, nfull_end - done) // period
             amps_chunk = self._src_amps[done:done + take * period].reshape(
                 take, period, nsrc)
             (u, aux), tr = scan_steps((u, aux), amps_chunk,
@@ -578,12 +623,7 @@ class Engine:
         wall = _time.perf_counter() - t0
 
         npts = int(np.prod(self.task.grid.shape))
-        trace_arr = None
-        if self._det_idx is not None and len(traces):
-            ncomp = self.model.ncomp
-            trace_arr = np.concatenate(
-                [np.asarray(t).reshape(-1, len(self._det_idx), ncomp)
-                 for t in traces], axis=0)
+        trace_arr = self._assemble_traces()
         self._last_traces = trace_arr
         self.u = u
         return RunResult(
@@ -607,27 +647,46 @@ class Engine:
         from gcm_tpu.snapshot.seismo import save_seismograms
         from gcm_tpu.snapshot.vtk import snapshot_fields, write_vti
 
+        import math
+
         os.makedirs(outdir, exist_ok=True)
         task = self.task
         snapdir = os.path.join(outdir, task.snapshots.directory)
 
-        cb = None
+        # snapshot and checkpoint cadences are INDEPENDENT (code-review
+        # r5: checkpoints used to fire only from inside the snapshot
+        # callback — disabled snapshots silently disabled checkpointing).
+        # Both are rounded UP to the symmetrization period (the engines'
+        # documented cadence convention), the callback fires at their
+        # gcd, and each artifact keeps its own exact cadence check.
+        period = 2 if task.symmetrize_stages else 1
+        rnd = lambda c: -(-c // period) * period if c else 0
+        snap_every = rnd(task.snapshots.every)
+        ck_every = rnd(checkpoint_every)
+        cadences = [c for c in (snap_every, ck_every) if c]
+
         series = []
-        if task.snapshots.every:
+        if snap_every:
             os.makedirs(snapdir, exist_ok=True)
 
+        def _snapshot(step: int, u: np.ndarray) -> None:
+            fields = snapshot_fields(self.model, u)
+            if task.snapshots.fields:
+                keep = set(task.snapshots.fields) | {"velocity"}
+                fields = {k: v for k, v in fields.items() if k in keep}
+            fname = f"{task.name}_{step:06d}.vti"
+            write_vti(
+                os.path.join(snapdir, fname),
+                task.grid.shape, task.grid.h, task.grid.origin, fields,
+            )
+            series.append((step * self.dt, fname))
+
+        cb = None
+        if cadences:
             def cb(step: int, u: np.ndarray) -> None:
-                fields = snapshot_fields(self.model, u)
-                if task.snapshots.fields:
-                    keep = set(task.snapshots.fields) | {"velocity"}
-                    fields = {k: v for k, v in fields.items() if k in keep}
-                fname = f"{task.name}_{step:06d}.vti"
-                write_vti(
-                    os.path.join(snapdir, fname),
-                    task.grid.shape, task.grid.h, task.grid.origin, fields,
-                )
-                series.append((step * self.dt, fname))
-                if checkpoint_every and step % checkpoint_every == 0:
+                if snap_every and step % snap_every == 0:
+                    _snapshot(step, u)
+                if ck_every and step % ck_every == 0:
                     from gcm_tpu.utils.checkpoint import save_checkpoint
 
                     save_checkpoint(
@@ -635,7 +694,8 @@ class Engine:
                         self.state_dict(),
                     )
 
-        res = self.run(snapshot_cb=cb)
+        res = self.run(snapshot_cb=cb,
+                       cb_every=math.gcd(*cadences) if cadences else None)
         if series:
             from gcm_tpu.snapshot.vtk import write_pvd
 

@@ -431,7 +431,10 @@ class MultiBodyEngine:
             for src in task.sources:
                 node = self._pnode(task.grid.index_of(src.position))
                 for cname in src.components:
-                    amps = src.wavelet(times) * self.dt
+                    # broadcast scalar-returning wavelets (code-review r5)
+                    amps = np.broadcast_to(
+                        np.asarray(src.wavelet(times), np.float64),
+                        times.shape) * self.dt
                     self._srcs.append((name, node, self.model.comp(cname),
                                        jnp.asarray(amps, dtype=dtype)))
 
@@ -597,11 +600,18 @@ class MultiBodyEngine:
                 if self._det_idx else {}
             return (us, bonded, auxs), stacked
 
-        # materials as jit ARGS, not closure constants (see _step_params)
-        @partial(jax.jit, donate_argnums=0)
-        def scan_all(carry, amps, params):
-            return jax.lax.scan(lambda c, x: body(c, x, params),
-                                carry, amps)
+        # materials as jit ARGS, not closure constants (see _step_params);
+        # the jitted scan is CACHED on the engine — a fresh jax.jit
+        # wrapper per run() call would retrace+recompile the whole step
+        # program every time (code-review r5)
+        scan_all = getattr(self, "_scan_all", None)
+        if scan_all is None:
+            @partial(jax.jit, donate_argnums=0)
+            def scan_all(carry, amps, params):
+                return jax.lax.scan(lambda c, x: body(c, x, params),
+                                    carry, amps)
+
+            self._scan_all = scan_all
 
         chunk = snapshot_every if (snapshot_cb and snapshot_every) else nfull
         chunk = max(period, -(-max(chunk, period) // period) * period)
@@ -618,7 +628,10 @@ class MultiBodyEngine:
         traces = []
         done = 0
         while done < nfull:
-            take = min(chunk, nfull - done) // period
+            # land on global chunk multiples even when a resume starts
+            # mid-grid, so exact step%cadence checks in callbacks hit
+            take = min(chunk - (start + nhead + done) % chunk,
+                       nfull - done) // period
             amps = amps_all[nhead + done:nhead + done + take * period].reshape(
                 take, period, nsrc)
             (us, bonded, auxs), tr = scan_all((us, bonded, auxs), amps,

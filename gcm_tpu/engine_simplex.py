@@ -116,7 +116,8 @@ class SimplexEngine:
         # characteristic length: minimum nearest-neighbor distance
         from scipy.spatial import cKDTree
 
-        d, _ = cKDTree(grid.points).query(grid.points, k=2)
+        tree = cKDTree(grid.points)
+        d, _ = tree.query(grid.points, k=2)
         h_min = float(d[:, 1].min())
         self.dt = cfl * h_min / self.mat.max_cp()
         if borders is not None:
@@ -164,10 +165,8 @@ class SimplexEngine:
             dtype=dtype,
         )
         self.dtype = dtype
-        # nearest-node source / detector indices (host-side, once)
-        from scipy.spatial import cKDTree as _KD
-
-        tree = _KD(grid.points)
+        # nearest-node source / detector indices: reuses the h_min
+        # KD-tree built above (code-review r5)
         self._srcs = []
         for src in sources:
             _, node = tree.query(np.asarray(src.position)[None, :], k=1)
@@ -177,6 +176,9 @@ class SimplexEngine:
         if detector_points is not None:
             _, nodes = tree.query(np.asarray(detector_points), k=1)
             self._det_idx = jnp.asarray(np.asarray(nodes, np.int32))
+        #: detector-trace chunks (checkpointed — resumed seismograms
+        #: cover the full record, code-review r5)
+        self._trace_chunks: list = []
         # ODE corrector aux state (same split-step coupling as Engine)
         self.correctors = tuple(correctors)
         self.aux: Dict = {}
@@ -233,6 +235,13 @@ class SimplexEngine:
         fp = _points_fingerprint(getattr(self, "grid", None))
         if fp is not None:
             d["points_md5"] = fp
+        if self._det_idx is not None:
+            npd = int(self._det_idx.shape[0])
+            chunks = [np.asarray(t).reshape(-1, npd, self.model.ncomp)
+                      for t in self._trace_chunks]
+            d["traces"] = (np.concatenate(chunks, axis=0) if chunks
+                           else np.zeros((0, npd, self.model.ncomp),
+                                         np.float32))
         return d
 
     def load_state(self, state: Dict) -> None:
@@ -241,11 +250,15 @@ class SimplexEngine:
         self.u = jnp.asarray(state["u"], dtype=self.dtype)
         self.aux = jax.tree.map(jnp.asarray, state["aux"])
         self.start_step = self._done_step = int(np.asarray(state["step"]))
+        tr = state.get("traces")
+        self._trace_chunks = (
+            [np.asarray(tr)] if tr is not None and np.size(tr) else [])
 
     # ------------------------------------------------------------------ run
 
     def run(self, nsteps: Optional[int] = None,
-            snapshot_cb=None) -> SimplexRunResult:
+            snapshot_cb=None, cb_every: Optional[int] = None
+            ) -> SimplexRunResult:
         """Run steps ``start_step .. nsteps`` (resume-aware). ``nsteps``
         defaults to the task-derived total; ``snapshot_cb(step, u)`` is
         called at the snapshot cadence (host-side, outside jit)."""
@@ -311,7 +324,9 @@ class SimplexEngine:
         if plan is not None:
             u = plan.pad(u)      # padded [C, R, L] for the whole scan
         unpad = (lambda x: x) if plan is None else plan.unpad
-        traces = []
+        if start == 0:
+            self._trace_chunks = []
+        traces = self._trace_chunks = list(self._trace_chunks)
         t0 = _time.perf_counter()
         done = start
         npts_det = None if det is None else len(np.asarray(det))
@@ -328,13 +343,17 @@ class SimplexEngine:
             single(done)
             done += 1
         nfull_end = done + ((nsteps - done) // 2) * 2
-        every = self.snapshots.every if (
-            snapshot_cb is not None and self.snapshots is not None) else 0
+        every = 0
+        if snapshot_cb is not None:
+            every = cb_every if cb_every is not None else (
+                self.snapshots.every if self.snapshots is not None else 0)
         chunk = every if every else max(nfull_end - done, 2)
-        chunk = max(2, (chunk // 2) * 2)
+        # round UP to the pair period (documented cadence convention)
+        chunk = max(2, -(-chunk // 2) * 2)
         nsrc = amps_all.shape[1]
         while done < nfull_end:
-            take = min(chunk, nfull_end - done) // 2
+            # land on chunk multiples even when a resume starts mid-grid
+            take = min(chunk - done % chunk, nfull_end - done) // 2
             amps_pairs = amps_all[done:done + take * 2].reshape(
                 take, 2, nsrc)
             (u, aux), tr = scan_pairs((u, aux), amps_pairs)
@@ -354,7 +373,8 @@ class SimplexEngine:
         trace_arr = None
         if det is not None and traces:
             trace_arr = np.concatenate(
-                [t.reshape(-1, npts_det, model.ncomp) for t in traces],
+                [np.asarray(t).reshape(-1, npts_det, model.ncomp)
+                 for t in traces],
                 axis=0)
         return SimplexRunResult(
             u=np.asarray(jax.device_get(unpad(u))),
@@ -378,19 +398,33 @@ class SimplexEngine:
 
         from gcm_tpu.snapshot.seismo import save_seismograms
 
+        import math
+
         os.makedirs(outdir, exist_ok=True)
         snap = self.snapshots
-        cb = None
+        # independent snapshot/checkpoint cadences, rounded UP to the
+        # pair period, callback at their gcd (code-review r5 — mirrors
+        # Engine.run_with_outputs; checkpoints no longer require
+        # snapshots to be enabled)
+        rnd = lambda c: -(-c // 2) * 2 if c else 0
+        snap_every = rnd(snap.every if snap is not None else 0)
+        ck_every = rnd(checkpoint_every)
+        cadences = [c for c in (snap_every, ck_every) if c]
         series = []
-        if snap is not None and snap.every:
-            snapdir = os.path.join(outdir, snap.directory)
+        snapdir = os.path.join(outdir,
+                               snap.directory if snap is not None
+                               else "snapshots")
+        if snap_every:
             os.makedirs(snapdir, exist_ok=True)
 
+        cb = None
+        if cadences:
             def cb(step: int, u: np.ndarray) -> None:
-                fname = f"{self.name}_{step:06d}.vtu"
-                self.write_snapshot(os.path.join(snapdir, fname))
-                series.append((step * self.dt, fname))
-                if checkpoint_every and step % checkpoint_every == 0:
+                if snap_every and step % snap_every == 0:
+                    fname = f"{self.name}_{step:06d}.vtu"
+                    self.write_snapshot(os.path.join(snapdir, fname))
+                    series.append((step * self.dt, fname))
+                if ck_every and step % ck_every == 0:
                     from gcm_tpu.utils.checkpoint import save_checkpoint
 
                     save_checkpoint(
@@ -398,7 +432,8 @@ class SimplexEngine:
                         self.state_dict(),
                     )
 
-        res = self.run(snapshot_cb=cb)
+        res = self.run(snapshot_cb=cb,
+                       cb_every=math.gcd(*cadences) if cadences else None)
         if series:
             from gcm_tpu.snapshot.vtk import write_pvd
 

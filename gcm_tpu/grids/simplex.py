@@ -458,9 +458,13 @@ def _mls_quadratic_weights(points: np.ndarray, feet: np.ndarray,
     try:
         X = np.linalg.solve(G, e0)[..., 0]            # [N, M]
     except np.linalg.LinAlgError:
-        X = np.linalg.lstsq(
-            G.reshape(-1, M, M).astype(np.float64),
-            e0, rcond=None)[0][..., 0]
+        # np.linalg.lstsq is 2-D only — a batched call here raised
+        # 'Array must be two-dimensional' instead of recovering
+        # (code-review r5, verified); degrade row-by-row
+        X = np.empty((len(G), M))
+        for i in range(len(G)):
+            X[i] = np.linalg.lstsq(G[i].astype(np.float64),
+                                   e0[i], rcond=None)[0][:, 0]
     return om * np.einsum("nkm,nm->nk", A, X)
 
 

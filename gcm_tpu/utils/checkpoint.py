@@ -25,13 +25,28 @@ def _manager(directory: str, max_to_keep: int = 3):
 
 
 def save_checkpoint(directory: str, step: int, state: Dict[str, Any]) -> None:
-    """Save ``state`` (an arbitrary pytree of arrays) at ``step``."""
+    """Save ``state`` (an arbitrary pytree of arrays) at ``step``.
+
+    A top-level ``"traces"`` entry (the accumulated detector record) is
+    stored as an npz SIDECAR rather than in the orbax tree: its leading
+    dimension grows with the step, and orbax's StandardRestore requires
+    the restore template's shapes to match the saved ones — which a fresh
+    engine cannot know (code-review r5)."""
     import orbax.checkpoint as ocp
 
+    traces = None
+    if isinstance(state, dict) and "traces" in state:
+        state = dict(state)
+        traces = state.pop("traces")
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
+    if traces is not None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez(os.path.join(os.path.abspath(directory),
+                              f"traces_{step}.npz"),
+                 traces=np.asarray(traces))
 
 
 def latest_step(directory: str) -> Optional[int]:
@@ -52,6 +67,8 @@ def restore_checkpoint(directory: str, state_like: Dict[str, Any],
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
+    if isinstance(state_like, dict) and "traces" in state_like:
+        state_like = {k: v for k, v in state_like.items() if k != "traces"}
     abstract = _abstractify(state_like)
     try:
         out = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
@@ -64,6 +81,11 @@ def restore_checkpoint(directory: str, state_like: Dict[str, Any],
         abstract = {k: v for k, v in abstract.items() if k != "points_md5"}
         out = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     mgr.close()
+    sidecar = os.path.join(os.path.abspath(directory),
+                           f"traces_{step}.npz")
+    if isinstance(out, dict) and os.path.exists(sidecar):
+        out = dict(out)
+        out["traces"] = np.load(sidecar)["traces"]
     return out
 
 

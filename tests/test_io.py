@@ -225,10 +225,98 @@ def test_pvd_series_written_and_indexed(tmp_path):
     assert pvd.exists()
     root = ET.parse(pvd).getroot()
     entries = root.findall(".//DataSet")
-    # steps 5,10,15,20 (+ the engine may snapshot the final state too)
-    assert len(entries) in (4, 5)
+    # every=5 rounds UP to the symmetrization period: snapshots at steps
+    # 6, 12, 18 — the documented cadence convention shared with the
+    # multi-body engines ("every 6 steps, never every 4"); Engine used
+    # to round DOWN to 4 (code-review r5)
+    assert len(entries) == 3
     times = [float(e.attrib["timestep"]) for e in entries]
     assert times == sorted(times) and times[0] > 0
-    assert len(set(times)) == len(times) or len(entries) == 5
+    assert len(set(times)) == len(times)
     for e in entries:
         assert (tmp_path / "snapshots" / e.attrib["file"]).exists()
+
+
+def test_checkpoints_without_snapshots(tmp_path):
+    """--checkpoint-every must work with snapshots DISABLED: checkpoints
+    used to be written only from inside the snapshot callback, so
+    SnapshotSpec(every=0) silently disabled checkpointing and --resume
+    restarted from step 0 (code-review r5)."""
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.utils.checkpoint import latest_step
+
+    task = _damage_task(8)
+    assert task.snapshots.every == 0
+    eng = Engine(task)
+    eng.run_with_outputs(str(tmp_path), checkpoint_every=4)
+    ckdir = str(tmp_path / "checkpoints")
+    assert latest_step(ckdir) == 8
+
+    # and the independent cadences still both fire when snapshots are on
+    import dataclasses as _dc
+
+    from gcm_tpu.task import SnapshotSpec
+
+    task2 = _dc.replace(_damage_task(8), name="snapck",
+                        snapshots=SnapshotSpec(every=4))
+    out2 = tmp_path / "both"
+    Engine(task2).run_with_outputs(str(out2), checkpoint_every=2)
+    assert latest_step(str(out2 / "checkpoints")) == 8
+    snaps = list((out2 / task2.snapshots.directory).glob("*.vti"))
+    assert len(snaps) == 2   # steps 4 and 8
+
+
+def test_resume_preserves_detector_traces(tmp_path):
+    """A resumed run's seismogram must cover the FULL record: traces are
+    checkpointed (npz sidecar) and the restored chunks are prepended, so
+    resume == uninterrupted for receiver data too (code-review r5: the
+    resumed run silently overwrote the output with only post-resume
+    steps)."""
+    import dataclasses as _dc
+
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.task import DetectorSpec
+    from gcm_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    def build(nsteps=10):
+        t = _damage_task(nsteps)
+        return _dc.replace(
+            t, detectors=DetectorSpec(points=((12.0, 12.0), (20.0, 8.0))))
+
+    full = Engine(build())
+    rfull = full.run()
+    assert rfull.traces is not None and rfull.traces.shape[0] == 10
+
+    cut = 6
+    part = Engine(build())
+    part.nsteps = cut
+    rpart = part.run()
+    assert rpart.traces.shape[0] == cut
+    ckdir = str(tmp_path / "ck")
+    save_checkpoint(ckdir, cut, part.state_dict())
+
+    resumed = Engine(build())
+    resumed.load_state(restore_checkpoint(ckdir, resumed.state_dict()))
+    res = resumed.run()
+    assert res.traces.shape[0] == 10, "resumed seismogram must be complete"
+    np.testing.assert_allclose(res.traces, rfull.traces,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_scalar_wavelet_source():
+    """A WaveletSource whose fn returns a scalar (constant drive) must
+    broadcast on the structured engines like it does on the simplex ones
+    (code-review r5: IndexError in Engine, shape error in
+    MultiBodyEngine)."""
+    import dataclasses as _dc
+
+    from gcm_tpu.engine import Engine
+    from gcm_tpu.task import WaveletSource
+
+    t = _damage_task(4)
+    src = WaveletSource(position=(12.0, 12.0), components=("sxx", "syy"),
+                        fn=lambda ts: 0.5)
+    t = _dc.replace(t, sources=(src,))
+    res = Engine(t).run()
+    assert np.isfinite(res.u).all()
+    assert np.abs(res.u).max() > 0.0

@@ -158,8 +158,12 @@ def test_simplex_resume_equals_uninterrupted(tmp_path, cut):
     np.testing.assert_allclose(np.asarray(resumed.aux["damage"]),
                                np.asarray(full.aux["damage"]),
                                rtol=1e-6, atol=1e-7)
-    # traces of the resumed segment equal the tail of the full run
-    np.testing.assert_allclose(res.traces, fres.traces[cut:],
+    # the resumed run's seismogram covers the FULL record — the
+    # checkpointed pre-resume chunks are prepended (code-review r5:
+    # previously only the post-resume tail came back and overwrote the
+    # output files)
+    assert res.traces.shape[0] == nsteps
+    np.testing.assert_allclose(res.traces, fres.traces,
                                rtol=1e-6, atol=1e-7)
 
 

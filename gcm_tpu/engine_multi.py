@@ -476,18 +476,43 @@ class MultiBodyEngine:
 
     # ----------------------------------------------------------- checkpoint
 
+    def _assemble_traces(self) -> Optional[Dict[str, np.ndarray]]:
+        """Per-body concatenation of the accumulated trace chunks (the
+        full record, including restored pre-resume chunks)."""
+        if not self._det_idx:
+            return None
+        chunks = getattr(self, "_trace_chunks", [])
+        out = {}
+        for k in self._det_idx:
+            parts = [c[k] for c in chunks if k in c]
+            out[k] = (np.concatenate(parts, axis=0) if parts else
+                      np.zeros((0, len(self._det_idx[k]),
+                                self.model.ncomp)))
+        return out
+
     def state_dict(self) -> Dict:
         """Restartable state: per-body fields, fracture bond masks,
         corrector aux (e.g. damage), steps completed. Bond masks matter —
-        resuming without them would silently heal every crack (VERDICT r1)."""
-        return {"us": {k: self._unpermute_u(v) for k, v in self.us.items()},
-                "bonded": {str(k): v for k, v in self.bonded.items()},
-                "aux": {k: {ak: self._unpermute_s(av)
-                            for ak, av in a.items()}
-                        for k, a in self.auxs.items()},
-                "step": getattr(self, "_done_step", 0)}
+        resuming without them would silently heal every crack (VERDICT r1).
+        Detector traces ride along (utils.checkpoint stores them as an
+        npz sidecar) so resumed seismograms stay complete."""
+        d = {"us": {k: self._unpermute_u(v) for k, v in self.us.items()},
+             "bonded": {str(k): v for k, v in self.bonded.items()},
+             "aux": {k: {ak: self._unpermute_s(av)
+                         for ak, av in a.items()}
+                     for k, a in self.auxs.items()},
+             "step": getattr(self, "_done_step", 0)}
+        tr = self._assemble_traces()
+        if tr is not None:
+            d["traces"] = tr
+        return d
 
     def load_state(self, state: Dict) -> None:
+        tr = state.get("traces")
+        self._trace_chunks = (
+            [{k: np.asarray(v) for k, v in tr.items()}]
+            if isinstance(tr, dict) and any(
+                np.size(v) for v in tr.values()) else [])
         self.us = {k: self._permute_u(jnp.asarray(v))
                    for k, v in state["us"].items()}
         # non-conforming contacts store per-side mask dicts, so tree-map
@@ -618,14 +643,26 @@ class MultiBodyEngine:
 
         t0 = _time.perf_counter()
         us, bonded, auxs = self.us, self.bonded, self.auxs
-        head_traces = []
+
+        def _norm(tr):
+            # normalized per-chunk record {body: [steps, np, ncomp]}
+            return {k: np.asarray(v).reshape(
+                        -1, len(self._det_idx[k]), self.model.ncomp)
+                    for k, v in tr.items()}
+
+        if start == 0:
+            self._trace_chunks = []
+        # chunks live on the engine: checkpointed (state_dict) so a
+        # resumed run's seismogram covers the FULL record (code-review r5)
+        chunks = self._trace_chunks = list(
+            getattr(self, "_trace_chunks", []))
         for n in range(start, start + nhead):
             us, bonded, auxs = self._one_step(
                 us, bonded, auxs, amps_all[n - start], n % period)
-            head_traces.append(detect(us))
+            if self._det_idx:
+                chunks.append(_norm(detect(us)))
             self.us, self.bonded, self.auxs = us, bonded, auxs
             self._done_step = n + 1
-        traces = []
         done = 0
         while done < nfull:
             # land on global chunk multiples even when a resume starts
@@ -636,7 +673,8 @@ class MultiBodyEngine:
                 take, period, nsrc)
             (us, bonded, auxs), tr = scan_all((us, bonded, auxs), amps,
                                               self._step_params())
-            traces.append(tr)
+            if self._det_idx:
+                chunks.append(_norm(tr))
             done += take * period
             self.us, self.bonded, self.auxs = us, bonded, auxs
             self._done_step = start + nhead + done
@@ -645,30 +683,17 @@ class MultiBodyEngine:
                             {k: np.asarray(jax.device_get(
                                  self._unpermute_u(v)))
                              for k, v in us.items()})
-        tail_traces = []
         for n in range(start + nhead + nfull, nsteps):
             us, bonded, auxs = self._one_step(
                 us, bonded, auxs, amps_all[n - start], n % period)
-            tail_traces.append(detect(us))
+            if self._det_idx:
+                chunks.append(_norm(detect(us)))
         jax.tree.map(lambda a: a.block_until_ready(), us)
         wall = _time.perf_counter() - t0
         npts = sum(int(np.prod(t.grid.shape)) for t in self.tasks.values())
         self.us, self.bonded, self.auxs = us, bonded, auxs
         self._done_step = nsteps
-        trace_out = None
-        if self._det_idx:
-            trace_out = {}
-            for k in self._det_idx:
-                tr = np.concatenate(
-                    [np.asarray(t[k]).reshape(
-                        -1, len(self._det_idx[k]), self.model.ncomp)
-                     for t in traces], axis=0) if traces else \
-                    np.zeros((0, len(self._det_idx[k]), self.model.ncomp))
-                head = [np.asarray(t[k])[None] for t in head_traces]
-                tail = [np.asarray(t[k])[None] for t in tail_traces]
-                if head or tail:
-                    tr = np.concatenate(head + [tr] + tail, axis=0)
-                trace_out[k] = tr
+        trace_out = self._assemble_traces()
         return MultiRunResult(
             bodies={k: np.asarray(jax.device_get(self._unpermute_u(v)))
                     for k, v in us.items()},

@@ -625,18 +625,33 @@ class SimplexMultiEngine:
         per-body node-numbering fingerprints (see SimplexEngine.state_dict)."""
         fps = {name: _points_fingerprint(b.grid)
                for name, b in self.bodies.items()}
-        return {"us": self.us,
-                "bonded": {str(k): v for k, v in self.bonded.items()},
-                "aux": self.auxs,
-                "step": self._done_step,
-                "points_md5": {k: v for k, v in fps.items()
-                               if v is not None}}
+        d = {"us": self.us,
+             "bonded": {str(k): v for k, v in self.bonded.items()},
+             "aux": self.auxs,
+             "step": self._done_step,
+             "points_md5": {k: v for k, v in fps.items()
+                            if v is not None}}
+        if self._det_idx:
+            chunks = getattr(self, "_trace_chunks", [])
+            d["traces"] = {
+                k: (np.concatenate([c[k] for c in chunks if k in c],
+                                   axis=0)
+                    if any(k in c for c in chunks)
+                    else np.zeros((0, len(np.asarray(idx)),
+                                   self.model.ncomp)))
+                for k, idx in self._det_idx.items()}
+        return d
 
     def load_state(self, state: Dict) -> None:
         for name, fp in (state.get("points_md5") or {}).items():
             if name in self.bodies:
                 _check_points_fingerprint(fp, self.bodies[name].grid,
                                           body=name)
+        tr = state.get("traces")
+        self._trace_chunks = (
+            [{k: np.asarray(v) for k, v in tr.items()}]
+            if isinstance(tr, dict) and any(
+                np.size(v) for v in tr.values()) else [])
         self.us = {k: jnp.asarray(v) for k, v in state["us"].items()}
         # non-conforming contacts store per-side mask dicts, so tree-map
         self.bonded = {int(k): jax.tree.map(jnp.asarray, v)
@@ -763,7 +778,19 @@ class SimplexMultiEngine:
 
         t0 = _time.perf_counter()
         us, bonded, auxs = self._pad_us(self.us), self.bonded, self.auxs
-        head_tr = []
+
+        def _norm(tr):
+            return {k: np.asarray(v).reshape(
+                        -1, len(np.asarray(self._det_idx[k])),
+                        self.model.ncomp)
+                    for k, v in tr.items()}
+
+        if start == 0:
+            self._trace_chunks = []
+        # engine-held chunks: checkpointed so resumed seismograms cover
+        # the full record (code-review r5)
+        chunks_acc = self._trace_chunks = list(
+            getattr(self, "_trace_chunks", []))
         nhead = 0
         # realign an odd-step checkpoint to the even-parity pair boundary
         # with single forward steps — the same prologue Engine and
@@ -772,7 +799,8 @@ class SimplexMultiEngine:
         while start + nhead < nsteps and (start + nhead) % 2:
             us, bonded, auxs = self._one_step(
                 us, bonded, auxs, amps_all[nhead], (start + nhead) % 2)
-            head_tr.append(self._detect(us))
+            if self._det_idx:
+                chunks_acc.append(_norm(self._detect(us)))
             nhead += 1
         npairs = (nrun - nhead) // 2
         amps_pairs = amps_all[nhead:nhead + npairs * 2].reshape(
@@ -782,14 +810,14 @@ class SimplexMultiEngine:
         chunk_pairs = (max(-(-snapshot_every // 2), 1)
                        if (snapshot_cb and snapshot_every) else
                        max(npairs, 1))
-        trace_chunks = []
         done_pairs = 0
         while done_pairs < npairs:
             take = min(chunk_pairs, npairs - done_pairs)
             (us, bonded, auxs), tr = scan_all(
                 (us, bonded, auxs),
                 amps_pairs[done_pairs:done_pairs + take])
-            trace_chunks.append(tr)
+            if self._det_idx:
+                chunks_acc.append(_norm(tr))
             done_pairs += take
             self.us = self._unpad_us(us)
             self.bonded, self.auxs = bonded, auxs
@@ -798,22 +826,13 @@ class SimplexMultiEngine:
                 snapshot_cb(self._done_step,
                             {k: np.asarray(jax.device_get(v))
                              for k, v in self._unpad_us(us).items()})
-        if self._det_idx and trace_chunks:
-            traces = {k: jnp.concatenate([t[k] for t in trace_chunks])
-                      for k in trace_chunks[0]}
-        else:
-            # no full pairs ran (nrun < 2): empty per-body trace arrays so
-            # the assembly below still concatenates with any tail step
-            traces = {k: jnp.zeros((0, 2, len(np.asarray(idx)),
-                                    self.model.ncomp), dtype=self.dtype)
-                      for k, idx in self._det_idx.items()}
-        tail_tr = []
         if (nrun - nhead) % 2:
             # un-paired forward tail step — run(3) executes 3 steps, same
             # convention as SimplexEngine/Engine (advisor r2)
             us, bonded, auxs = self._one_step(us, bonded, auxs,
                                               amps_all[nrun - 1], 0)
-            tail_tr.append(self._detect(us))
+            if self._det_idx:
+                chunks_acc.append(_norm(self._detect(us)))
         jax.tree.map(lambda a: a.block_until_ready(), us)
         wall = _time.perf_counter() - t0
         us = self._unpad_us(us)
@@ -824,13 +843,10 @@ class SimplexMultiEngine:
         if self._det_idx:
             trace_out = {}
             for k, idx in self._det_idx.items():
-                tr = np.asarray(traces[k]).reshape(
-                    -1, len(np.asarray(idx)), self.model.ncomp)
-                head = [np.asarray(t[k])[None] for t in head_tr]
-                tail = [np.asarray(t[k])[None] for t in tail_tr]
-                if head or tail:
-                    tr = np.concatenate(head + [tr] + tail, axis=0)
-                trace_out[k] = tr
+                parts = [c[k] for c in chunks_acc if k in c]
+                trace_out[k] = (np.concatenate(parts, axis=0) if parts
+                                else np.zeros((0, len(np.asarray(idx)),
+                                               self.model.ncomp)))
         return SimplexMultiRunResult(
             bodies={k: np.asarray(jax.device_get(v)) for k, v in us.items()},
             # non-conforming contacts carry per-side mask dicts

@@ -670,8 +670,7 @@ def _require_lane_alignment(n_lane: int, interpret, name: str) -> None:
     mode (CPU) has no such restriction. Engines guard this statically and
     fall back to the per-sweep Pallas kernels; direct callers get a clear
     error instead of a remote-compile crash."""
-    if interpret is None:
-        interpret = not on_tpu()
+    interpret = default_interpret(interpret=interpret)
     if not interpret and n_lane % 128 != 0:
         raise ValueError(
             f"{name}: the last (lane) dimension must be a multiple of 128 "

@@ -375,11 +375,16 @@ def pallas_stage(
     cx: int = 64,
     ts: int = 8,
     tl: int = 128,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for solver.gcm.stage on 2D/3D grids (f32).
 
     ``cx``: sweep-axis chunk; ``ts``/``tl``: transverse sublane/lane tiles
     (multiples of 8/128) — tuning knobs for DMA efficiency.
+    ``interpret``: None = interpret unless the process default platform is
+    TPU; mesh-aware callers (parallel.halo) must pass the MESH's platform
+    decision explicitly (code-review r5: a CPU mesh in a TPU-default
+    process otherwise lowers Mosaic for CPU devices).
     """
     if u.ndim not in (3, 4):
         raise ValueError("pallas_stage supports 2D and 3D grids only")
@@ -465,8 +470,11 @@ def pallas_stage(
 
     # non-TPU backends (CPU tests, dryruns) run in interpret mode; omit the
     # kwarg on TPU so test harnesses can still monkeypatch pallas_call
+    from gcm_tpu.utils.backend import default_interpret
+
     interp_kw = (
-        {"interpret": True} if not on_tpu() else {})
+        {"interpret": True} if default_interpret(interpret=interpret)
+        else {})
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -501,11 +509,12 @@ def pallas_step(
     cx: int = 64,
     ts: int = 8,
     tl: int = 128,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Full step with every sweep as a fused Pallas kernel."""
     if axes is None:
         axes = range(model.dim)
     for a in axes:
         u = pallas_stage(model, u, mat, dt, h, a, order, borders,
-                         cx=cx, ts=ts, tl=tl)
+                         cx=cx, ts=ts, tl=tl, interpret=interpret)
     return u

@@ -151,18 +151,17 @@ def make_spmd_raw_stage(
     """
     dim = model.dim
     r = stencil_radius(order)
-    axis_names = mesh.axis_names
-    spatial_names: Dict[int, Optional[str]] = {a: None for a in range(dim)}
-    spatial_names[0] = "sx"
-    if dim >= 3 and "sy" in axis_names:
-        spatial_names[1] = "sy"
+    spatial_names = _spatial_names(dim, mesh)
 
     if use_pallas:
         from gcm_tpu.ops.pallas_stage import pallas_stage as _pstage
+        from gcm_tpu.utils.backend import on_tpu as _on_tpu
+
+        _interp = not _on_tpu(mesh)   # mesh platform, not process default
 
         def raw(u, mat, axis):
             return _pstage(model, u, mat, dt, h, axis, order, None,
-                           cx=pallas_cx)
+                           cx=pallas_cx, interpret=_interp)
     else:
         def raw(u, mat, axis):
             return jnp_stage(model, u, mat, dt, h, axis, order, None)
@@ -216,18 +215,17 @@ def make_spmd_step(
     """
     dim = model.dim
     r = stencil_radius(order)
-    axis_names = mesh.axis_names                       # ('sx',) or ('sx','sy')
-    spatial_names: Dict[int, Optional[str]] = {a: None for a in range(dim)}
-    spatial_names[0] = "sx"
-    if dim >= 3 and "sy" in axis_names:
-        spatial_names[1] = "sy"
+    spatial_names = _spatial_names(dim, mesh)
 
     if use_pallas:
         from gcm_tpu.ops.pallas_stage import pallas_stage as _pstage
+        from gcm_tpu.utils.backend import on_tpu as _on_tpu
+
+        _interp = not _on_tpu(mesh)
 
         def raw_stage(u, mat, axis):
             return _pstage(model, u, mat, dt, h, axis, order, None,
-                           cx=pallas_cx)
+                           cx=pallas_cx, interpret=_interp)
     else:
         def raw_stage(u, mat, axis):
             return jnp_stage(model, u, mat, dt, h, axis, order, None)

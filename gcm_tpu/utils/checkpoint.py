@@ -35,18 +35,45 @@ def save_checkpoint(directory: str, step: int, state: Dict[str, Any]) -> None:
     import orbax.checkpoint as ocp
 
     traces = None
-    if isinstance(state, dict) and "traces" in state:
+    has_traces = isinstance(state, dict) and "traces" in state
+    if has_traces:
         state = dict(state)
         traces = state.pop("traces")
+    directory = os.path.abspath(directory)
+    if has_traces:
+        # sidecar FIRST and atomically: a completed orbax step must imply
+        # its sidecar exists — a preemption between the two would
+        # otherwise resume with the whole pre-resume seismogram silently
+        # dropped, and a mid-write kill would brick --resume with a
+        # truncated npz (code-review r5)
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"traces_{step}.npz")
+        # must end in .npz or np.savez appends the suffix itself
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        if isinstance(traces, dict):
+            # multi-body record: one array per body
+            np.savez(tmp, **{f"body:{k}": np.asarray(v)
+                             for k, v in traces.items()})
+        else:
+            np.savez(tmp, traces=np.asarray(traces))
+        os.replace(tmp, path)
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
+    keep = set(mgr.all_steps())
     mgr.close()
-    if traces is not None:
-        os.makedirs(directory, exist_ok=True)
-        np.savez(os.path.join(os.path.abspath(directory),
-                              f"traces_{step}.npz"),
-                 traces=np.asarray(traces))
+    # rotate sidecars with orbax's max_to_keep (they grow with the step —
+    # unbounded retention is O(T^2) disk on long runs)
+    import glob as _glob
+    import re as _re
+
+    for f in _glob.glob(os.path.join(directory, "traces_*.npz")):
+        m = _re.fullmatch(r"traces_(\d+)\.npz", os.path.basename(f))
+        if m and int(m.group(1)) not in keep:
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
 
 
 def latest_step(directory: str) -> Optional[int]:
@@ -67,7 +94,8 @@ def restore_checkpoint(directory: str, state_like: Dict[str, Any],
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
-    if isinstance(state_like, dict) and "traces" in state_like:
+    wants_traces = isinstance(state_like, dict) and "traces" in state_like
+    if wants_traces:
         state_like = {k: v for k, v in state_like.items() if k != "traces"}
     abstract = _abstractify(state_like)
     try:
@@ -83,9 +111,23 @@ def restore_checkpoint(directory: str, state_like: Dict[str, Any],
     mgr.close()
     sidecar = os.path.join(os.path.abspath(directory),
                            f"traces_{step}.npz")
-    if isinstance(out, dict) and os.path.exists(sidecar):
+    # only attach when the caller's template asked for traces — a stale
+    # sidecar from another run sharing the directory must not leak into
+    # a detector-free restore (code-review r5)
+    if wants_traces and isinstance(out, dict) and os.path.exists(sidecar):
         out = dict(out)
-        out["traces"] = np.load(sidecar)["traces"]
+        try:
+            with np.load(sidecar) as z:
+                if "traces" in z.files:
+                    out["traces"] = z["traces"]
+                else:
+                    out["traces"] = {k.split(":", 1)[1]: z[k]
+                                     for k in z.files
+                                     if k.startswith("body:")}
+        except Exception as e:
+            raise ValueError(
+                f"corrupt detector-trace sidecar {sidecar}: {e}; delete "
+                "it to resume without the pre-resume seismogram") from e
     return out
 
 

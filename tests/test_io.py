@@ -320,3 +320,45 @@ def test_scalar_wavelet_source():
     res = Engine(t).run()
     assert np.isfinite(res.u).all()
     assert np.abs(res.u).max() > 0.0
+
+
+def test_multibody_resume_preserves_traces(tmp_path):
+    """The multi-body engines checkpoint detector traces too (dict-valued
+    npz sidecar): a resumed contact run's seismograms must cover the full
+    record (code-review r5 — the fix initially covered only the
+    single-body engines while the CLI exposes --resume for contact
+    scenarios)."""
+    import dataclasses as _dc
+
+    from gcm_tpu.engine_multi import MultiBodyEngine
+    from gcm_tpu.scenarios import elastic3d_contact
+    from gcm_tpu.task import DetectorSpec
+    from gcm_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    def build(nsteps=10):
+        bodies, contacts = elastic3d_contact(n=12, nsteps=nsteps)
+        bodies = {
+            k: _dc.replace(t, detectors=DetectorSpec(
+                points=((500.0, 500.0, 100.0),)))
+            for k, t in bodies.items()}
+        return MultiBodyEngine(bodies, contacts)
+
+    full = build()
+    rfull = full.run()
+    assert rfull.traces and all(v.shape[0] == 10
+                                for v in rfull.traces.values())
+
+    cut = 6
+    part = build()
+    part.nsteps = cut
+    part.run()
+    ckdir = str(tmp_path / "ck")
+    save_checkpoint(ckdir, cut, part.state_dict())
+
+    resumed = build()
+    resumed.load_state(restore_checkpoint(ckdir, resumed.state_dict()))
+    assert resumed.start_step == cut
+    res = resumed.run()
+    for k, v in res.traces.items():
+        assert v.shape[0] == 10, (k, v.shape)
+        np.testing.assert_allclose(v, rfull.traces[k], rtol=1e-6, atol=1e-8)
